@@ -1,0 +1,96 @@
+"""Single source of truth for alignment / pipeline configuration.
+
+SURVEY.md §5 ("Config/flag system"): the reference exposes per-tool CLI flags
+(seed length, max diffs, conversion thresholds, cluster min-reads); here they
+live in one serializable dataclass that is written alongside every output for
+reproducibility. All scoring is integer (SURVEY.md §7 "Exactness discipline"),
+mirroring BWA's integer penalties (upstream bwtaln.c), so results are
+bit-identical across batch sizes, shard counts, and vs the CPU oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class AlignConfig:
+    """Configuration for the seed-and-extend aligner and pipeline.
+
+    The flat-model scores express BWA-backtrack's ~1:3 match:mismatch penalty
+    ratio (upstream bwtaln.c defaults) on an integer log-odds scale; the
+    profile-aware pass replaces the substitution scores with a learned
+    S[read_pos, ref_base, read_base] tensor of the same dtype/scale
+    (BASELINE.json:north_star).
+    """
+
+    # --- read geometry ---
+    max_read_len: int = 100          # L: pad-to length (reads are 36-100bp [B])
+    batch_size: int = 1024           # reads per device batch (B)
+
+    # --- seeding (k-mer hash index; SURVEY.md §7 "Seeding") ---
+    kmer_size: int = 12              # k: 4 non-overlapping seeds cover 48bp
+    max_seeds: int = 4               # seeds per read (non-overlapping, offsets s*k)
+    max_occ: int = 64                # skip seeds whose k-mer occurs more often
+    max_candidates: int = 16         # C: candidate diagonals kept per read/strand
+
+    # --- extension (banded affine-gap DP; SURVEY.md §7 "Extension/scoring") ---
+    band_width: int = 5              # W: max net indel; band = 2W+1 diagonals
+    match_score: int = 6             # flat-model match (int log-odds scale)
+    mismatch_score: int = -18        # flat-model mismatch
+    n_score: int = -6                # any comparison involving N
+    gap_open: int = 45               # penalty for first gap base (open+extend)
+    gap_extend: int = 15             # penalty per additional gap base
+    min_score_frac: float = 0.3      # unmapped if best < frac * Lr * match_score
+
+    # --- error profile (SURVEY.md §2 component 3) ---
+    profile_scale: float = 3.0       # log-odds -> int scale for learned S
+    profile_min_score: int = -54     # clip for learned substitution scores
+    profile_max_score: int = 12      # clip (matches stay positive)
+    profile_pseudocount: float = 0.5 # additive smoothing for count matrices
+
+    # --- simulator defaults (SURVEY.md §2 component 8) ---
+    sim_tc_rate: float = 0.125       # P(T->C conversion) at crosslink positions
+    sim_error_rate: float = 0.002    # base sequencing error rate (flat fallback)
+
+    # --- cluster calling (SURVEY.md §2 component 11) ---
+    cluster_min_reads: int = 2       # drop clusters with fewer reads
+    cluster_min_tc: int = 1          # require >=1 T->C conversion in cluster
+
+    # --- misc ---
+    chrom_spacer: int = 256          # N bases packed between chroms (> L + 2W,
+                                     # so no alignment window straddles chroms)
+    seed: int = 0                    # PRNG seed for simulation
+
+    def __post_init__(self) -> None:
+        if self.chrom_spacer < self.max_read_len + 2 * self.band_width:
+            raise ValueError("chrom_spacer must exceed max_read_len + 2*band_width")
+        if self.kmer_size * self.max_seeds > self.max_read_len:
+            raise ValueError("max_seeds * kmer_size must fit in max_read_len")
+        if self.kmer_size > 15:
+            raise ValueError("kmer_size > 15 overflows int32 k-mer codes")
+
+    @property
+    def band(self) -> int:
+        """Number of diagonals in the DP band (2W+1)."""
+        return 2 * self.band_width + 1
+
+    def min_score(self, read_len: int) -> int:
+        """Minimum alignment score to report a read as mapped."""
+        return int(self.min_score_frac * read_len * self.match_score)
+
+    # --- serialization (outputs carry their config for reproducibility) ---
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "AlignConfig":
+        return cls(**json.loads(text))
+
+    def replace(self, **kw) -> "AlignConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = AlignConfig()

@@ -1,0 +1,124 @@
+"""SAM text emission.
+
+BASELINE.json:metric scores "% SAM-record concordance vs reference", so field
+formatting is pinned down here in one place (SURVEY.md §7 "Hard parts" #1:
+tie-breaks/MAPQ/CIGAR conventions are localized for calibration once the
+reference mounts). Conventions, BWA-backtrack-shaped (upstream bwase.c):
+
+  * no soft-clipping: the whole read is aligned (glocal), CIGAR in M/I/D;
+  * reverse-strand records store the reverse-complemented SEQ and reversed
+    QUAL with FLAG 0x10;
+  * unmapped reads are emitted with FLAG 0x4, RNAME *, POS 0, CIGAR *;
+  * tags: NM:i edit distance, AS:i alignment score, X0:i best-hit count,
+    X1:i suboptimal-hit count, XT:A U(nique)/R(epeat).
+
+Each host writes its own shard file; the merged SAM is a host-side
+concatenation in deterministic shard order (SURVEY.md §5 "Distributed
+communication backend") — SAM text never crosses the network.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from parasuite_tpu import __version__
+from parasuite_tpu.index.reference import PackedReference
+from parasuite_tpu.utils.dna import decode_seq, revcomp_codes
+
+
+def sam_header(ref: PackedReference, sort_order: str = "unsorted",
+               command_line: str = "") -> str:
+    lines = [f"@HD\tVN:1.6\tSO:{sort_order}"]
+    for i, name in enumerate(ref.names):
+        lines.append(f"@SQ\tSN:{name}\tLN:{ref.chrom_len(i)}")
+    pg = f"@PG\tID:parasuite_tpu\tPN:parasuite_tpu\tVN:{__version__}"
+    if command_line:
+        pg += f"\tCL:{command_line}"
+    lines.append(pg)
+    return "\n".join(lines) + "\n"
+
+
+def cigar_string(cigar: list[tuple[str, int]]) -> str:
+    if not cigar:
+        return "*"
+    return "".join(f"{ln}{op}" for op, ln in cigar)
+
+
+def format_record(name: str, read_codes: np.ndarray, read_len: int,
+                  qual: bytes, ref: PackedReference, *,
+                  mapped: bool, strand: int = 0, packed_pos: int = -1,
+                  mapq: int = 0, cigar=None, score: int = 0, nm: int = 0,
+                  x0: int = 0, x1: int = 0) -> str:
+    """One SAM line (no trailing newline).
+
+    read_codes/qual are in machine (sequencing) orientation; this function
+    applies the reverse-strand transform for emission.
+    """
+    codes = np.asarray(read_codes[:read_len])
+    q = qual[:read_len].decode("ascii") if qual else "*"
+    if not mapped:
+        seq = decode_seq(codes)
+        return "\t".join([name, "4", "*", "0", "0", "*", "*", "0", "0",
+                          seq, q])
+    ci_arr, local = ref.locate(np.asarray([packed_pos]))
+    ci = int(ci_arr[0])
+    assert ci >= 0, "mapped record with position outside any chromosome"
+    rname = ref.names[ci]
+    pos_1 = int(local[0]) + 1
+    if strand == 1:
+        seq = decode_seq(revcomp_codes(codes))
+        q = q[::-1] if q != "*" else q
+        flag = 16
+    else:
+        seq = decode_seq(codes)
+        flag = 0
+    xt = "U" if x0 == 1 else "R"
+    tags = [f"XT:A:{xt}", f"NM:i:{nm}", f"X0:i:{x0}", f"X1:i:{x1}",
+            f"AS:i:{score}"]
+    return "\t".join([name, str(flag), rname, str(pos_1), str(mapq),
+                      cigar_string(cigar), "*", "0", "0", seq, q] + tags)
+
+
+class SamWriter:
+    """Streaming SAM shard writer."""
+
+    def __init__(self, path, ref: PackedReference, command_line: str = "",
+                 write_header: bool = True):
+        self.path = Path(path)
+        self._fh = open(self.path, "w")
+        if write_header:
+            self._fh.write(sam_header(ref, command_line=command_line))
+        self.ref = ref
+        self.n_records = 0
+
+    def write(self, line: str) -> None:
+        self._fh.write(line + "\n")
+        self.n_records += 1
+
+    def close(self) -> None:
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def merge_shards(out_path, shard_paths: list, ref: PackedReference,
+                 command_line: str = "") -> None:
+    """Deterministic merge: header + shard bodies in given order.
+
+    Shards are written headerless by the distributed pipeline; ordering by
+    shard index (not arrival) is what makes output identical at any host
+    count (SURVEY.md §4.5 determinism tests).
+    """
+    with open(out_path, "w") as out:
+        out.write(sam_header(ref, command_line=command_line))
+        for sp in shard_paths:
+            with open(sp) as fh:
+                for line in fh:
+                    if not line.startswith("@"):
+                        out.write(line)

@@ -1,0 +1,77 @@
+"""FASTA/FASTQ/batching round-trips (SURVEY.md §2 component 9)."""
+
+import numpy as np
+
+from parasuite_tpu.io import (ReadBatch, iter_fastq_batches, read_fasta,
+                              read_fastq, write_fasta, write_fastq)
+from parasuite_tpu.io.sam import cigar_string
+from parasuite_tpu.utils.dna import decode_seq, encode_seq, revcomp_codes
+
+
+def test_encode_decode_roundtrip():
+    s = "ACGTNACGTacgtn"
+    codes = encode_seq(s)
+    assert decode_seq(codes) == "ACGTNACGTACGTN"
+    assert list(codes[:5]) == [0, 1, 2, 3, 4]
+
+
+def test_revcomp():
+    codes = encode_seq("AACGT")
+    assert decode_seq(revcomp_codes(codes)) == "ACGTT"
+    # N stays N
+    assert decode_seq(revcomp_codes(encode_seq("AN"))) == "NT"
+
+
+def test_fasta_roundtrip(tmp_path):
+    seqs = {"chr1": encode_seq("ACGT" * 40), "chr2": encode_seq("TTTNNNGGG")}
+    p = tmp_path / "ref.fa"
+    write_fasta(p, seqs)
+    back = read_fasta(p)
+    assert list(back.keys()) == ["chr1", "chr2"]
+    for k in seqs:
+        np.testing.assert_array_equal(back[k], seqs[k])
+
+
+def test_fastq_roundtrip_and_batching(tmp_path):
+    rng = np.random.default_rng(0)
+    n, L = 10, 30
+    codes = rng.integers(0, 4, size=(n, L)).astype(np.int8)
+    lengths = np.full(n, L, dtype=np.int32)
+    names = [f"read{i}" for i in range(n)]
+    p = tmp_path / "reads.fastq"
+    write_fastq(p, names, codes, lengths)
+
+    batch = read_fastq(p, max_len=40, batch_size=4)
+    assert batch.n_real == n
+    assert batch.n_total == 12  # padded to multiple of 4
+    np.testing.assert_array_equal(batch.codes[:n, :L], codes)
+    assert np.all(batch.codes[:n, L:] == 4)  # N padding
+    assert np.all(batch.lengths[n:] == 0)
+
+    # streaming batches
+    batches = list(iter_fastq_batches(p, batch_size=4, max_len=40))
+    assert [b.n_real for b in batches] == [4, 4, 2]
+    np.testing.assert_array_equal(batches[0].codes[0, :L], codes[0])
+
+
+def test_fastq_sharded_batches(tmp_path):
+    """Round-robin whole-batch sharding partitions records exactly."""
+    rng = np.random.default_rng(1)
+    n, L = 37, 20
+    codes = rng.integers(0, 4, size=(n, L)).astype(np.int8)
+    names = [f"r{i}" for i in range(n)]
+    p = tmp_path / "reads.fastq"
+    write_fastq(p, names, codes, np.full(n, L, dtype=np.int32))
+
+    shard_names = []
+    for h in range(3):
+        for b in iter_fastq_batches(p, batch_size=8, max_len=20,
+                                    stride_shards=3, shard_index=h):
+            shard_names.extend(b.names)
+    assert sorted(shard_names) == sorted(names)
+
+
+def test_cigar_string():
+    assert cigar_string([("M", 50)]) == "50M"
+    assert cigar_string([("M", 10), ("I", 2), ("M", 38)]) == "10M2I38M"
+    assert cigar_string([]) == "*"
