@@ -1,0 +1,149 @@
+"""Benchmark driver: reads/s/chip on 50bp PAR-CLIP reads (BASELINE.json:metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+vs_baseline semantics: BASELINE.md's north star is >=10x reads/s over the
+reference CPU aligner; the reference binary is unavailable in this
+environment (empty mount — BASELINE.md provenance note), so the denominator
+is 10x the throughput of THIS engine's identical algorithm on the CPU XLA
+backend (all host cores, measured in a subprocess each run).
+vs_baseline >= 1.0 therefore means "at least 10x a full-machine CPU run of
+the same pipeline". Replace with the real reference number per SURVEY.md §8.4
+once the mount appears.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# benchmark scale (chr22-like synthetic reference; deterministic)
+REF_LEN = 20_000_000
+READ_LEN = 50
+N_READS_TPU = 16 * 4096
+N_READS_CPU = 1024
+BATCH_TPU = 4096
+BATCH_CPU = 512
+TIMED_ROUNDS = 3
+
+
+def build_state(cfg, ref_len, seed=1):
+    from parasuite_tpu.errormodel.scoring import flat_score_tensor
+    from parasuite_tpu.index import KmerIndex, PackedReference
+    from parasuite_tpu.ops.device_index import DeviceIndex, ScoreParams
+
+    rng = np.random.default_rng(seed)
+    seqs = {"chr_bench": rng.integers(0, 4, ref_len).astype(np.int8)}
+    ref = PackedReference.from_dict(seqs, spacer=cfg.chrom_spacer)
+    index = KmerIndex.build(ref.seq, cfg.kmer_size)
+    return ref, DeviceIndex.from_host(ref, index), ScoreParams.from_tensor(
+        flat_score_tensor(cfg, cfg.max_read_len), cfg)
+
+
+def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False):
+    import functools
+
+    import jax
+
+    from parasuite_tpu.ops.aligner import align_batch
+    from parasuite_tpu.ops.device_index import min_scores_host
+    from parasuite_tpu.sim import simulate_reads
+
+    ref, didx, sprof = build_state(cfg, ref_len)
+    codes, lengths, truth = simulate_reads(ref, n_reads, READ_LEN, cfg,
+                                           seed=2, tc_rate=0.12)
+    ms = min_scores_host(lengths, cfg)
+    fn = jax.jit(functools.partial(align_batch, cfg=cfg))
+
+    # compile + warmup
+    r0 = fn(didx, sprof, codes[:batch_size], lengths[:batch_size],
+            ms[:batch_size])
+    jax.block_until_ready(r0)
+
+    best = 0.0
+    results = None
+    for _round in range(TIMED_ROUNDS):
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(0, n_reads, batch_size):
+            outs.append(fn(didx, sprof, codes[i:i + batch_size],
+                           lengths[i:i + batch_size], ms[i:i + batch_size]))
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        best = max(best, n_reads / dt)
+        results = outs
+    extras = {}
+    if check_accuracy:
+        from parasuite_tpu.benchkit import evaluate_against_truth
+
+        mapped = np.concatenate([np.asarray(r.mapped) for r in results])
+        strand = np.concatenate([np.asarray(r.strand) for r in results])
+        pos = np.concatenate([np.asarray(r.pos) for r in results])
+        rep = evaluate_against_truth(truth, mapped, strand, pos)
+        extras = {"sensitivity": round(rep.sensitivity, 4),
+                  "precision": round(rep.precision, 4)}
+    return best, extras
+
+
+def cpu_subprocess_throughput() -> float:
+    """Measure the same pipeline on the CPU XLA backend in a clean subprocess
+    (the sitecustomize in this image pins the parent process to the TPU)."""
+    code = (
+        "import os,sys,json\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        "os.environ['JAX_PLATFORMS']='cpu'\n"
+        "import bench\n"
+        "cfg = bench.make_cfg()\n"
+        f"r,_ = bench.run_throughput(cfg, {N_READS_CPU}, {BATCH_CPU}, "
+        f"{REF_LEN})\n"
+        "print(json.dumps({'cpu_reads_per_s': r}))\n"
+    )
+    env = {k: v for k, v in os.environ.items()}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)  # drop the axon sitecustomize
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=1800)
+    if p.returncode != 0:
+        sys.stderr.write("cpu leg failed:\n" + p.stderr[-2000:] + "\n")
+        return 0.0
+    return float(json.loads(p.stdout.strip().splitlines()[-1])["cpu_reads_per_s"])
+
+
+def make_cfg():
+    from parasuite_tpu.config import AlignConfig
+
+    return AlignConfig(max_read_len=READ_LEN, kmer_size=12, batch_size=BATCH_TPU,
+                       max_candidates=8, max_occ=32)
+
+
+def main() -> int:
+    cfg = make_cfg()
+    tpu_rps, extras = run_throughput(cfg, N_READS_TPU, BATCH_TPU, REF_LEN,
+                                     check_accuracy=True)
+    cpu_rps = cpu_subprocess_throughput()
+    denom = 10.0 * cpu_rps if cpu_rps > 0 else float("nan")
+    out = {
+        "metric": "reads_per_second_per_chip",
+        "value": round(tpu_rps, 1),
+        "unit": "reads/s/chip (50bp PAR-CLIP, 20Mbp ref)",
+        "vs_baseline": round(tpu_rps / denom, 3) if denom == denom else None,
+        "cpu_reads_per_s": round(cpu_rps, 1),
+        "baseline_note": "vs_baseline = tpu/(10x same-pipeline CPU backend); "
+                         "reference binary unavailable (BASELINE.md)",
+        **extras,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

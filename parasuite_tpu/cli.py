@@ -1,0 +1,304 @@
+"""Command-line toolkit — the PARA-suite.jar equivalent (SURVEY.md §2
+component 1: per-tool subcommand dispatch).
+
+Tools (mirroring the reference toolkit's roles; exact upstream names to be
+confirmed on mount, SURVEY.md §8.3):
+
+  index      build packed reference + k-mer index from FASTA
+  align      single-pass alignment (flat or learned profile) -> SAM
+  twopass    error-profile inference + profile-aware realignment (config 2)
+  simulate   PAR-CLIP read simulation -> FASTQ + truth (config 4 input)
+  benchmark  simulate + align + sensitivity/precision + reads/s report
+  cluster    SAM -> binding-site clusters TSV (config 5)
+  combine    build combined genome+transcriptome reference (config 3)
+
+Every run writes its AlignConfig JSON next to the outputs (SURVEY.md §5
+config reproducibility).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _cfg_from_args(args) -> "AlignConfig":
+    from parasuite_tpu.config import AlignConfig
+
+    kw = {}
+    for f in ("max_read_len", "kmer_size", "band_width", "max_candidates",
+              "max_occ", "batch_size", "cluster_min_reads", "seed"):
+        v = getattr(args, f, None)
+        if v is not None:
+            kw[f] = v
+    return AlignConfig(**kw)
+
+
+def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--max-read-len", dest="max_read_len", type=int)
+    p.add_argument("--kmer-size", dest="kmer_size", type=int)
+    p.add_argument("--band-width", dest="band_width", type=int)
+    p.add_argument("--max-candidates", dest="max_candidates", type=int)
+    p.add_argument("--max-occ", dest="max_occ", type=int)
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--seed", type=int)
+
+
+def _load_engine(args, cfg):
+    from parasuite_tpu.errormodel.infer import ErrorProfile, counts_to_profile
+    from parasuite_tpu.index import KmerIndex, PackedReference
+    from parasuite_tpu.pipeline import AlignerEngine
+
+    s = None
+    if getattr(args, "profile", None):
+        s = counts_to_profile(ErrorProfile.load(args.profile), cfg)
+    idx = KmerIndex.load(args.index_prefix)
+    if Path(str(args.index_prefix) + ".combined.json").exists():
+        from parasuite_tpu.pipeline import CombinedEngine, CombinedReference
+
+        comb = CombinedReference.load(args.index_prefix)
+        return CombinedEngine(comb, idx, cfg, s_tensor=s)
+    ref = PackedReference.load(args.index_prefix)
+    return AlignerEngine(ref, idx, cfg, s_tensor=s)
+
+
+def _batches(args, cfg):
+    from parasuite_tpu.io.fastq import iter_fastq_batches
+
+    return lambda: iter_fastq_batches(args.fastq, cfg.batch_size,
+                                      cfg.max_read_len)
+
+
+def cmd_index(args) -> int:
+    from parasuite_tpu.index import KmerIndex, PackedReference
+    from parasuite_tpu.io.fasta import read_fasta
+
+    cfg = _cfg_from_args(args)
+    seqs = read_fasta(args.fasta)
+    ref = PackedReference.from_dict(seqs, spacer=cfg.chrom_spacer)
+    idx = KmerIndex.build(ref.seq, cfg.kmer_size)
+    ref.save(args.out_prefix)
+    idx.save(args.out_prefix)
+    Path(str(args.out_prefix) + ".config.json").write_text(cfg.to_json())
+    print(json.dumps({"tool": "index", "chroms": len(ref.names),
+                      "packed_len": ref.total_len, "kmers": idx.n_kmers}))
+    return 0
+
+
+def cmd_align(args) -> int:
+    from parasuite_tpu.io.sam import SamWriter
+
+    cfg = _cfg_from_args(args)
+    engine = _load_engine(args, cfg)
+    t0 = time.perf_counter()
+    n = 0
+    with SamWriter(args.out, engine.sam_ref,
+                   command_line=" ".join(sys.argv[1:])) as w:
+        for batch in _batches(args, cfg)():
+            host = engine.align_to_host(batch)
+            engine.emit_sam(batch, host, w)
+            n += batch.n_real
+    Path(str(args.out) + ".config.json").write_text(cfg.to_json())
+    dt = time.perf_counter() - t0
+    print(json.dumps({"tool": "align", "reads": n,
+                      "seconds": round(dt, 3),
+                      "reads_per_second": round(n / max(dt, 1e-9), 1)}))
+    return 0
+
+
+def cmd_twopass(args) -> int:
+    from parasuite_tpu.io.sam import SamWriter
+    from parasuite_tpu.pipeline import two_pass_align
+
+    cfg = _cfg_from_args(args)
+    engine = _load_engine(args, cfg)
+    profile_out = args.profile_out or (str(args.out) + ".errorprofile")
+    with SamWriter(args.out, engine.sam_ref,
+                   command_line=" ".join(sys.argv[1:])) as w:
+        profile = two_pass_align(engine, _batches(args, cfg), sam_writer=w,
+                                 profile_path=profile_out)
+    Path(str(args.out) + ".config.json").write_text(cfg.to_json())
+    print(json.dumps({"tool": "twopass", "profiled_reads": profile.n_reads,
+                      "profile": str(profile_out)}))
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    from parasuite_tpu.errormodel.infer import ErrorProfile
+    from parasuite_tpu.index import PackedReference
+    from parasuite_tpu.io.fastq import write_fastq
+    from parasuite_tpu.sim import simulate_reads
+
+    cfg = _cfg_from_args(args)
+    ref = PackedReference.load(args.index_prefix)
+    probs = None
+    if args.profile:
+        probs = ErrorProfile.load(args.profile).probs(cfg.profile_pseudocount)
+    codes, lengths, truth = simulate_reads(
+        ref, args.n_reads, args.read_len, cfg, seed=cfg.seed,
+        profile_probs=probs, tc_rate=args.tc_rate)
+    names = truth.names()
+    write_fastq(args.out, names, codes, lengths)
+    print(json.dumps({"tool": "simulate", "reads": args.n_reads,
+                      "conversions": int(truth.n_conversions.sum()),
+                      "errors": int(truth.n_errors.sum())}))
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    from parasuite_tpu.benchkit import ThroughputTimer, evaluate_against_truth
+    from parasuite_tpu.sim import simulate_reads
+
+    cfg = _cfg_from_args(args)
+    engine = _load_engine(args, cfg)
+    codes, lengths, truth = simulate_reads(engine.ref, args.n_reads,
+                                           args.read_len, cfg, seed=cfg.seed,
+                                           tc_rate=args.tc_rate)
+    B = cfg.batch_size
+    pad = (-len(codes)) % B
+    if pad:
+        codes = np.concatenate([codes, np.full((pad, args.read_len), 4,
+                                               dtype=np.int8)])
+        lengths = np.concatenate([lengths, np.zeros(pad, dtype=np.int32)])
+    # warmup/compile on first batch
+    res = engine.align_device(codes[:B], lengths[:B])
+    import jax
+    jax.block_until_ready(res)
+    timer = ThroughputTimer("align")
+    results = []
+    for i in range(0, len(codes), B):
+        timer.start()
+        r = engine.align_device(codes[i : i + B], lengths[i : i + B])
+        timer.stop(int((lengths[i : i + B] > 0).sum()), r)
+        results.append(r)
+    mapped = np.concatenate([np.asarray(r.mapped) for r in results])
+    strand = np.concatenate([np.asarray(r.strand) for r in results])
+    pos = np.concatenate([np.asarray(r.pos) for r in results])
+    rep = evaluate_against_truth(truth, mapped, strand, pos)
+    out = timer.report(**rep.to_dict(), tool="benchmark")
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_cluster(args) -> int:
+    from parasuite_tpu.index import PackedReference
+    from parasuite_tpu.io.sam import cigar_ref_span, read_sam
+    from parasuite_tpu.pipeline.clusters import call_clusters, write_clusters
+    from parasuite_tpu.utils.dna import encode_seq
+
+    cfg = _cfg_from_args(args)
+    ref = PackedReference.load(args.index_prefix)
+    name_to_idx = {n: i for i, n in enumerate(ref.names)}
+    _, records = read_sam(args.sam)
+    pos_l, span_l, tc_l = [], [], []
+    for r in records:
+        if r["flag"] & 0x4 or r["rname"] not in name_to_idx:
+            continue
+        ci = name_to_idx[r["rname"]]
+        packed = int(ref.starts[ci]) + r["pos"] - 1
+        span = cigar_ref_span(r["cigar"])
+        # machine-frame T->C: fwd = (ref T, seq C); rev = (ref A, seq G)
+        seq = encode_seq(r["seq"])
+        rb = ref.seq[packed : packed + len(seq)]
+        if r["flag"] & 0x10:
+            tc = int(np.sum((rb[: len(seq)] == 0) & (seq == 2)))
+        else:
+            tc = int(np.sum((rb[: len(seq)] == 3) & (seq == 1)))
+        pos_l.append(packed)
+        span_l.append(span)
+        tc_l.append(tc)
+    clusters = call_clusters(ref, np.asarray(pos_l, dtype=np.int64),
+                             np.asarray(span_l, dtype=np.int32),
+                             np.asarray(tc_l, dtype=np.int32), cfg)
+    write_clusters(args.out, clusters)
+    print(json.dumps({"tool": "cluster", "alignments": len(pos_l),
+                      "clusters": len(clusters)}))
+    return 0
+
+
+def cmd_combine(args) -> int:
+    from parasuite_tpu.pipeline.combined import build_combined_index
+
+    cfg = _cfg_from_args(args)
+    meta = build_combined_index(args.fasta, args.annotation, args.out_prefix,
+                                cfg)
+    print(json.dumps({"tool": "combine", **meta}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="parasuite_tpu",
+        description="TPU-native PAR-CLIP read-analysis toolkit")
+    sub = ap.add_subparsers(dest="tool", required=True)
+
+    p = sub.add_parser("index", help="build reference index")
+    p.add_argument("fasta")
+    p.add_argument("out_prefix")
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("align", help="align FASTQ -> SAM")
+    p.add_argument("index_prefix")
+    p.add_argument("fastq")
+    p.add_argument("out")
+    p.add_argument("--profile", help=".errorprofile for profile-aware scoring")
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_align)
+
+    p = sub.add_parser("twopass", help="two-pass profile-aware alignment")
+    p.add_argument("index_prefix")
+    p.add_argument("fastq")
+    p.add_argument("out")
+    p.add_argument("--profile-out", dest="profile_out")
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_twopass)
+
+    p = sub.add_parser("simulate", help="simulate PAR-CLIP reads")
+    p.add_argument("index_prefix")
+    p.add_argument("out")
+    p.add_argument("--n-reads", dest="n_reads", type=int, default=10000)
+    p.add_argument("--read-len", dest="read_len", type=int, default=50)
+    p.add_argument("--tc-rate", dest="tc_rate", type=float, default=None)
+    p.add_argument("--profile", help="errorprofile for error injection")
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("benchmark", help="simulate+align, report accuracy & speed")
+    p.add_argument("index_prefix")
+    p.add_argument("--n-reads", dest="n_reads", type=int, default=10000)
+    p.add_argument("--read-len", dest="read_len", type=int, default=50)
+    p.add_argument("--tc-rate", dest="tc_rate", type=float, default=None)
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("cluster", help="call binding-site clusters from SAM")
+    p.add_argument("index_prefix")
+    p.add_argument("sam")
+    p.add_argument("out")
+    p.add_argument("--cluster-min-reads", dest="cluster_min_reads", type=int)
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_cluster)
+
+    p = sub.add_parser("combine", help="build combined genome+transcriptome index")
+    p.add_argument("fasta")
+    p.add_argument("annotation", help="exon table (BED12-like TSV)")
+    p.add_argument("out_prefix")
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_combine)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

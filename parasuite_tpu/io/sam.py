@@ -81,6 +81,51 @@ def format_record(name: str, read_codes: np.ndarray, read_len: int,
                       cigar_string(cigar), "*", "0", "0", seq, q] + tags)
 
 
+def parse_cigar(cig: str) -> list[tuple[str, int]]:
+    if cig == "*":
+        return []
+    out = []
+    n = ""
+    for ch in cig:
+        if ch.isdigit():
+            n += ch
+        else:
+            out.append((ch, int(n)))
+            n = ""
+    return out
+
+
+def cigar_ref_span(cigar: list[tuple[str, int]]) -> int:
+    """Reference bases consumed (M + D)."""
+    return sum(ln for op, ln in cigar if op in "MDN=X")
+
+
+def read_sam(path):
+    """Parse a SAM file -> (header_lines, records).
+
+    Each record is a dict with the 11 mandatory fields (POS int, FLAG int,
+    MAPQ int, CIGAR parsed) plus a raw tags list. Used by the cluster-calling
+    CLI to consume merged alignments (SURVEY.md §3.5).
+    """
+    headers, records = [], []
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith("@"):
+                headers.append(line)
+                continue
+            f = line.split("\t")
+            records.append({
+                "qname": f[0], "flag": int(f[1]), "rname": f[2],
+                "pos": int(f[3]), "mapq": int(f[4]),
+                "cigar": parse_cigar(f[5]), "seq": f[9], "qual": f[10],
+                "tags": f[11:],
+            })
+    return headers, records
+
+
 class SamWriter:
     """Streaming SAM shard writer."""
 

@@ -1,0 +1,408 @@
+"""Jittable batch aligner (jnp reference path).
+
+The device-side equivalent of the reference's native aligner stack (upstream
+bwa_aln/bwt_match_gap per SURVEY.md §3.2), re-designed for XLA: fixed shapes
+everywhere, no data-dependent control flow, integer-only scoring, and every
+tie-break identical to oracle/align.py (the parity tests in
+tests/test_jnp_aligner.py enforce bit-equality).
+
+Stages (all fused under one jit):
+  1. orient      — forward + reverse-complement views of each read
+  2. seed        — k-mer lookups in the dense index -> candidate diagonals
+  3. select      — per-strand top-C candidates by (votes desc, diag asc)
+                   via a 2-key lax.sort (no host round-trip)
+  4. extend      — banded glocal affine-gap DP over all (read, candidate)
+                   pairs, lax.scan over read positions, band on the minor
+                   axis; also tracks the ungapped diagonal score (gapless
+                   fast path: CIGAR is "{Lr}M" whenever ug == dp)
+  5. finalize    — dedupe by (strand, pos), pick best by
+                   (score desc, strand asc, pos asc), X0/X1 counts,
+                   integer MAPQ, chromosome-boundary policy, ungapped NM
+
+The Pallas kernel in pallas_extend.py replaces stage 4 behind the same
+contract; everything else is already gather/sort shaped and XLA-fuses well.
+
+Everything stays in int32: positions (< 2^31 per shard by construction,
+ops/device_index.py), scores (|s| <= 64 per base * L <= 100), and sort keys —
+no reliance on x64 mode.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parasuite_tpu.config import AlignConfig
+from parasuite_tpu.ops.device_index import DeviceIndex, ScoreParams
+
+NEG = -(1 << 28)
+I32MAX = np.iinfo(np.int32).max
+_COMP = np.array([3, 2, 1, 0, 4], dtype=np.int32)
+
+
+class AlignResult(NamedTuple):
+    """Per-read alignment outputs (all [B])."""
+
+    mapped: jnp.ndarray      # bool
+    strand: jnp.ndarray      # int32 0/1
+    pos: jnp.ndarray         # int32 packed start (ungapped key position)
+    score: jnp.ndarray       # int32 DP score
+    mapq: jnp.ndarray        # int32
+    x0: jnp.ndarray          # int32 best-score hit count
+    x1: jnp.ndarray          # int32 suboptimal hit count
+    ug_equal: jnp.ndarray    # bool: gapless fast path valid
+    nm: jnp.ndarray          # int32 ungapped edit distance (valid iff ug_equal)
+    diag: jnp.ndarray        # int32 winning candidate diagonal (for traceback)
+    n_candidates: jnp.ndarray  # int32 candidates extended (stats/logging)
+
+
+# ---------------------------------------------------------------------------
+# stage 1: orientation
+# ---------------------------------------------------------------------------
+
+def orient_reads(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] machine-frame codes -> [B, 2, L] (forward, revcomp) views.
+
+    Revcomp rows are N-padded past each read's true length, mirroring how
+    ReadBatch pads forward rows.
+    """
+    comp = jnp.asarray(_COMP)
+    c32 = codes.astype(jnp.int32)
+    L = codes.shape[1]
+    i = jnp.arange(L)
+    rev_idx = jnp.clip(lengths[:, None] - 1 - i[None, :], 0, L - 1)
+    gathered = jnp.take_along_axis(c32, rev_idx, axis=1)
+    rc = jnp.where(i[None, :] < lengths[:, None], comp[gathered], 4)
+    return jnp.stack([c32, rc], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# stages 2-3: seeding + candidate selection
+# ---------------------------------------------------------------------------
+
+def seed_diagonals(oriented: jnp.ndarray, lengths: jnp.ndarray,
+                   didx: DeviceIndex, cfg: AlignConfig) -> jnp.ndarray:
+    """[B, 2, L] -> candidate diagonals [B*2, max_seeds*max_occ] (I32MAX =
+    invalid). Seeds at non-overlapping offsets s*k; k-mers containing N,
+    absent from the index, or with more than max_occ occurrences are skipped
+    (repeat policy, oracle.seed_candidates)."""
+    B = oriented.shape[0]
+    L = oriented.shape[2]
+    k, S, M = cfg.kmer_size, cfg.max_seeds, cfg.max_occ
+    reads2 = oriented.reshape(B * 2, L)
+    len2 = jnp.repeat(lengths, 2)
+    pow4 = jnp.asarray((4 ** np.arange(k - 1, -1, -1)).astype(np.int32))
+    n_pos = didx.positions.shape[0]
+    j = jnp.arange(M)
+    chunks = []
+    for s in range(S):
+        off = s * k
+        win = reads2[:, off : off + k]
+        has_n = jnp.any(win == 4, axis=1)
+        fits = (off + k) <= len2
+        code = jnp.sum(jnp.where(win == 4, 0, win) * pow4[None, :], axis=1)
+        code = jnp.where(has_n, 0, code)
+        lo = didx.bucket_starts[code]
+        cnt = didx.bucket_starts[code + 1] - lo
+        ok = fits & (~has_n) & (cnt > 0) & (cnt <= M)
+        hit_idx = jnp.clip(lo[:, None] + j[None, :], 0, n_pos - 1)
+        pos = didx.positions[hit_idx]
+        valid = ok[:, None] & (j[None, :] < cnt[:, None])
+        chunks.append(jnp.where(valid, pos - off, I32MAX))
+    return jnp.concatenate(chunks, axis=1)
+
+
+def select_candidates(diags: jnp.ndarray, cfg: AlignConfig):
+    """Top-C unique diagonals per oriented read by (votes desc, diag asc).
+
+    Votes = number of seeds hitting the same diagonal (ungapped support).
+    Returns (cand_diag [B2, C] int32, cand_valid [B2, C] bool)."""
+    n = diags.shape[1]
+    d = jnp.sort(diags, axis=1)
+    left = jax.vmap(lambda a: jnp.searchsorted(a, a, side="left"))(d)
+    right = jax.vmap(lambda a: jnp.searchsorted(a, a, side="right"))(d)
+    votes = (right - left).astype(jnp.int32)
+    t = jnp.arange(n)
+    first = (t[None, :] == left) & (d != I32MAX)
+    negv = jnp.where(first, -votes, 1)
+    dd = jnp.where(first, d, I32MAX)
+    negv_s, dd_s = jax.lax.sort((negv, dd), dimension=1, num_keys=2)
+    C = cfg.max_candidates
+    return dd_s[:, :C], (negv_s[:, :C] < 1)
+
+
+# ---------------------------------------------------------------------------
+# stage 4: banded affine-gap extension
+# ---------------------------------------------------------------------------
+
+def extend_candidates(oriented: jnp.ndarray, lengths: jnp.ndarray,
+                      cand_diag: jnp.ndarray, didx: DeviceIndex,
+                      sprof: ScoreParams, cfg: AlignConfig):
+    """Banded glocal affine-gap DP for every (oriented read, candidate) pair.
+
+    Returns dp_score, dp_j, ug_score, ug_j, each [B2, C] int32. Semantics are
+    oracle.banded_dp exactly: band j in [0, 2W], read base i sits at packed
+    position diag - W + i + j; leading insertions disallowed; alignments end
+    in the M state; argmax returns the smallest optimal j.
+    """
+    B, _, L = oriented.shape
+    C = cand_diag.shape[1]
+    W = cfg.band_width
+    BAND = 2 * W + 1
+    WIN = L + 2 * W
+    G = didx.ref_seq.shape[0]
+    B2 = B * 2
+    P = B2 * C
+
+    diag = jnp.clip(cand_diag, -(WIN + 1), G).reshape(P)
+    base = diag - W
+    t = jnp.arange(WIN)
+    widx = base[:, None] + t[None, :]
+    inr = (widx >= 0) & (widx < G)
+    refwin = jnp.where(inr, didx.ref_seq[jnp.clip(widx, 0, G - 1)], 4).astype(jnp.int32)
+
+    reads2 = oriented.reshape(B2, L)
+    pair_read = jnp.repeat(reads2, C, axis=0)                      # [P, L]
+    strand = jnp.tile(jnp.repeat(jnp.arange(2), C), B)             # [P]
+    Lr = jnp.repeat(lengths, 2 * C)                                # [P]
+
+    i = jnp.arange(L)
+    prof = jnp.where(strand[:, None] == 0, i[None, :],
+                     jnp.clip(Lr[:, None] - 1 - i[None, :], 0, L - 1))
+    # sub[p, i, j] = S[strand][prof(i)][refwin[i+j]][read[i]]
+    s_all = jnp.stack([sprof.s_fwd, sprof.s_comp]).reshape(-1)     # [2*L*25]
+    jwin = i[:, None] + jnp.arange(BAND)[None, :]                  # [L, BAND]
+    rb = refwin[:, jwin]                                           # [P, L, BAND]
+    flat = ((strand[:, None] * L + prof)[:, :, None] * 5 + rb) * 5 \
+        + pair_read[:, :, None]
+    sub = s_all[flat]                                              # [P, L, BAND]
+    act = i[None, :] < Lr[:, None]                                 # [P, L]
+    sub = jnp.where(act[:, :, None], sub, 0)
+
+    go, ge = cfg.gap_open, cfg.gap_extend
+    tj = jnp.arange(BAND)
+    neg_col = jnp.full((P, 1), NEG, dtype=jnp.int32)
+
+    def step(carry, xs):
+        m_prev, ix_prev, iy_prev, ug = carry
+        sub_i, act_i, first_i = xs
+        best_prev = jnp.maximum(m_prev, jnp.maximum(ix_prev, iy_prev))
+        m_new = sub_i + jnp.where(first_i, 0, best_prev)
+        m_shift = jnp.concatenate([m_prev[:, 1:], neg_col], axis=1)
+        ix_shift = jnp.concatenate([ix_prev[:, 1:], neg_col], axis=1)
+        ix_new = jnp.where(first_i, NEG,
+                           jnp.maximum(m_shift - go, ix_shift - ge))
+        # Iy[j] = max_{u<j} (M[u] - go - (j-1-u)*ge)  via prefix cummax
+        a = m_new - go + tj[None, :] * ge
+        cm = jax.lax.cummax(a, axis=1)
+        iy_new = jnp.concatenate(
+            [neg_col, cm[:, :-1] - tj[None, :-1] * ge], axis=1)
+        actb = act_i[:, None]
+        m_out = jnp.where(actb, m_new, m_prev)
+        ix_out = jnp.where(actb, ix_new, NEG)
+        iy_out = jnp.where(actb, iy_new, NEG)
+        return (m_out, ix_out, iy_out, ug + sub_i), None
+
+    # carry inits derive from sub (0 * sub[:, 0]) so their sharding/varying
+    # type matches the scan outputs under shard_map (vma typing)
+    zero = sub[:, 0] * 0
+    init = (zero + NEG, zero + NEG, zero + NEG, zero)
+    xs = (jnp.swapaxes(sub, 0, 1),                 # [L, P, BAND]
+          jnp.swapaxes(act, 0, 1),                 # [L, P]
+          (i == 0)[:, None] & jnp.ones((1, 1), dtype=bool))  # [L, 1]
+    (m_fin, _ix, _iy, ug), _ = jax.lax.scan(step, init, xs)
+
+    dp_j = jnp.argmax(m_fin, axis=1).astype(jnp.int32)
+    dp_score = jnp.max(m_fin, axis=1)
+    ug_j = jnp.argmax(ug, axis=1).astype(jnp.int32)
+    ug_score = jnp.max(ug, axis=1)
+    shape = (B2, C)
+    return (dp_score.reshape(shape), dp_j.reshape(shape),
+            ug_score.reshape(shape), ug_j.reshape(shape))
+
+
+# ---------------------------------------------------------------------------
+# stage 5: finalize
+# ---------------------------------------------------------------------------
+
+def finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
+             dp_score, dp_j, ug_score, ug_j, didx: DeviceIndex,
+             sprof: ScoreParams, cfg: AlignConfig) -> AlignResult:
+    """Dedupe, select, count hits, MAPQ, boundary policy, ungapped NM.
+
+    All inputs at [B2, C]; outputs at [B]. Semantics mirror oracle.align_read
+    line for line.
+    """
+    B = oriented.shape[0]
+    L = oriented.shape[2]
+    C = cand_diag.shape[1]
+    n = 2 * C
+    W = cfg.band_width
+    G = didx.ref_seq.shape[0]
+
+    def per_read(x):
+        return x.reshape(B, n)
+
+    diag = per_read(jnp.clip(cand_diag, -(L + 2 * W + 1), G))
+    valid0 = per_read(cand_valid)
+    dps = per_read(dp_score)
+    dpj = per_read(dp_j)
+    ugs = per_read(ug_score)
+    ugj = per_read(ug_j)
+    strand = jnp.tile(jnp.repeat(jnp.arange(2), C)[None, :], (B, 1))
+
+    ug_eq = ugs == dps
+    j_sel = jnp.where(ug_eq, ugj, dpj)
+    pos_key = diag - W + j_sel
+    valid = valid0 & (dps >= min_scores[:, None])
+
+    # dedupe by (strand, pos_key): an entry is a duplicate if a strictly
+    # better twin exists — higher score, or equal score and lower index
+    same = (strand[:, :, None] == strand[:, None, :]) & \
+           (pos_key[:, :, None] == pos_key[:, None, :])
+    better = (dps[:, None, :] > dps[:, :, None]) | \
+             ((dps[:, None, :] == dps[:, :, None]) &
+              (jnp.arange(n)[None, :] < jnp.arange(n)[:, None])[None])
+    dup = jnp.any(same & better & valid[:, None, :], axis=2)
+    uv = valid & ~dup
+
+    best_score = jnp.max(jnp.where(uv, dps, NEG), axis=1)
+    at_best = uv & (dps == best_score[:, None])
+    best_strand = jnp.min(jnp.where(at_best, strand, 2), axis=1)
+    at_bs = at_best & (strand == best_strand[:, None])
+    best_pos = jnp.min(jnp.where(at_bs, pos_key, I32MAX), axis=1)
+    chosen = at_bs & (pos_key == best_pos[:, None])
+    best_idx = jnp.argmax(chosen, axis=1)
+
+    has = jnp.any(uv, axis=1)
+    x0 = jnp.sum(at_best, axis=1).astype(jnp.int32)
+    x1 = jnp.sum(uv & (dps < best_score[:, None]), axis=1).astype(jnp.int32)
+    mapq = jnp.where(
+        x0 > 1, 0,
+        jnp.where(x1 == 0, 37,
+                  jnp.maximum(0, 23 - sprof.mapq_sub[jnp.clip(x1, 0, 255)])))
+
+    def pick(x):
+        return jnp.take_along_axis(x, best_idx[:, None], axis=1)[:, 0]
+
+    sel_strand = pick(strand)
+    sel_pos = pick(pos_key)
+    sel_diag = pick(diag)
+    sel_ug_eq = pick(ug_eq)
+    sel_score = pick(dps)
+
+    # chromosome-boundary policy (oracle: whole ungapped span in one chrom)
+    ci = jnp.clip(
+        jnp.searchsorted(didx.chrom_starts, sel_pos, side="right") - 1,
+        0, didx.chrom_starts.shape[0] - 1)
+    within = (sel_pos >= didx.chrom_starts[ci]) & \
+             (sel_pos + lengths - 1 < didx.chrom_ends[ci]) & (lengths > 0)
+    mapped = has & within
+
+    # ungapped NM at the selected position
+    i = jnp.arange(L)
+    ridx = sel_pos[:, None] + i[None, :]
+    rb = jnp.where((ridx >= 0) & (ridx < G),
+                   didx.ref_seq[jnp.clip(ridx, 0, G - 1)], 4).astype(jnp.int32)
+    sel_read = jnp.take_along_axis(
+        oriented, sel_strand[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    mm = (rb != sel_read) | (rb == 4) | (sel_read == 4)
+    nm = jnp.sum(jnp.where(i[None, :] < lengths[:, None], mm, False),
+                 axis=1).astype(jnp.int32)
+
+    return AlignResult(
+        mapped=mapped,
+        strand=jnp.where(mapped, sel_strand, 0).astype(jnp.int32),
+        pos=jnp.where(mapped, sel_pos, -1),
+        score=jnp.where(mapped, sel_score, NEG),
+        mapq=jnp.where(mapped, mapq, 0).astype(jnp.int32),
+        x0=jnp.where(mapped, x0, 0),
+        x1=jnp.where(mapped, x1, 0),
+        ug_equal=jnp.where(mapped, sel_ug_eq, True),
+        nm=jnp.where(mapped, nm, 0),
+        diag=jnp.where(mapped, sel_diag, 0),
+        n_candidates=jnp.sum(valid0, axis=1).astype(jnp.int32),
+    )
+
+
+class CandidateTable(NamedTuple):
+    """Per-candidate outputs [B, 2C] for host-side re-finalization (combined
+    genome+transcriptome mode: candidates must be projected to genome space
+    before uniqueness/X0/MAPQ are meaningful — pipeline/combined.py)."""
+
+    valid: jnp.ndarray     # bool: passed min-score (pre-dedupe)
+    strand: jnp.ndarray    # int32
+    pos: jnp.ndarray       # int32 packed ungapped-key position
+    score: jnp.ndarray     # int32 DP score
+    ug_equal: jnp.ndarray  # bool
+    diag: jnp.ndarray      # int32
+
+
+def candidate_table(oriented, lengths, min_scores, cand_diag, cand_valid,
+                    dp_score, dp_j, ug_score, ug_j, cfg: AlignConfig,
+                    G: int) -> CandidateTable:
+    B = oriented.shape[0]
+    L = oriented.shape[2]
+    C = cand_diag.shape[1]
+    n = 2 * C
+    W = cfg.band_width
+
+    def per_read(x):
+        return x.reshape(B, n)
+
+    diag = per_read(jnp.clip(cand_diag, -(L + 2 * W + 1), G))
+    dps = per_read(dp_score)
+    ug_eq = per_read(ug_score) == dps
+    j_sel = jnp.where(ug_eq, per_read(ug_j), per_read(dp_j))
+    return CandidateTable(
+        valid=per_read(cand_valid) & (dps >= min_scores[:, None]),
+        strand=jnp.tile(jnp.repeat(jnp.arange(2), C)[None, :], (B, 1)),
+        pos=diag - W + j_sel,
+        score=dps,
+        ug_equal=ug_eq,
+        diag=diag,
+    )
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+def align_batch(didx: DeviceIndex, sprof: ScoreParams, codes: jnp.ndarray,
+                lengths: jnp.ndarray, min_scores: jnp.ndarray,
+                cfg: AlignConfig, extend_fn=None) -> AlignResult:
+    """End-to-end batch alignment (jit this with cfg static).
+
+    extend_fn lets the Pallas kernel replace the jnp extension stage behind
+    the same contract (ops/pallas_extend.py).
+    """
+    oriented = orient_reads(codes, lengths)
+    diags = seed_diagonals(oriented, lengths, didx, cfg)
+    cand_diag, cand_valid = select_candidates(diags, cfg)
+    ext = extend_fn if extend_fn is not None else extend_candidates
+    dp_score, dp_j, ug_score, ug_j = ext(oriented, lengths, cand_diag,
+                                         didx, sprof, cfg)
+    return finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
+                    dp_score, dp_j, ug_score, ug_j, didx, sprof, cfg)
+
+
+def align_batch_with_candidates(didx: DeviceIndex, sprof: ScoreParams,
+                                codes: jnp.ndarray, lengths: jnp.ndarray,
+                                min_scores: jnp.ndarray, cfg: AlignConfig,
+                                extend_fn=None):
+    """align_batch + the per-candidate table (combined-reference mode)."""
+    oriented = orient_reads(codes, lengths)
+    diags = seed_diagonals(oriented, lengths, didx, cfg)
+    cand_diag, cand_valid = select_candidates(diags, cfg)
+    ext = extend_fn if extend_fn is not None else extend_candidates
+    dp_score, dp_j, ug_score, ug_j = ext(oriented, lengths, cand_diag,
+                                         didx, sprof, cfg)
+    res = finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
+                   dp_score, dp_j, ug_score, ug_j, didx, sprof, cfg)
+    table = candidate_table(oriented, lengths, min_scores, cand_diag,
+                            cand_valid, dp_score, dp_j, ug_score, ug_j, cfg,
+                            didx.ref_seq.shape[0])
+    return res, table

@@ -1,0 +1,182 @@
+"""Single-pass alignment pipeline: ReadBatch in, SAM records + stats out.
+
+The reference's pipeline driver shells out to bwa and shuttles files between
+stages (SURVEY.md §3.1 process boundaries); here the whole align step is one
+jitted device call, and only SAM text emission (plus the <<1% gapped-read
+tracebacks) runs on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from parasuite_tpu.config import AlignConfig
+from parasuite_tpu.errormodel.scoring import (complement_score_tensor,
+                                              flat_score_tensor)
+from parasuite_tpu.index.kmer import KmerIndex
+from parasuite_tpu.index.reference import PackedReference
+from parasuite_tpu.io.batch import ReadBatch
+from parasuite_tpu.io.sam import format_record
+from parasuite_tpu.ops.aligner import align_batch
+from parasuite_tpu.ops.device_index import (DeviceIndex, ScoreParams,
+                                            min_scores_host)
+from parasuite_tpu.ops.profile_update import profile_counts_batch
+from parasuite_tpu.oracle.align import (_ref_window, _score_rows, banded_dp,
+                                        traceback_alignment)
+from parasuite_tpu.utils.dna import N, revcomp_codes
+
+
+def host_traceback(ref_seq: np.ndarray, s_tensor: np.ndarray,
+                   s_comp: np.ndarray, cfg: AlignConfig,
+                   oriented_read: np.ndarray, read_len: int, strand: int,
+                   diag: int) -> tuple[int, list, int]:
+    """Re-run the banded DP on host for one gapped read and trace it back.
+
+    -> (packed_start_pos, cigar, nm). Shared by the plain and combined
+    engines; gapped reads are <<1% so this never dominates (gapless fast
+    path, SURVEY.md §7)."""
+    w = cfg.band_width
+    s_eff = s_tensor if strand == 0 else s_comp
+    rows = _score_rows(s_eff, oriented_read, read_len, strand)
+    refwin = _ref_window(ref_seq, diag, read_len, w)
+    _score, dp_j, _u, _uj, tables = banded_dp(rows, refwin, read_len, cfg,
+                                              keep_tables=True)
+    start_j, cigar, gap_nm = traceback_alignment(tables, rows, refwin,
+                                                 read_len, dp_j, cfg)
+    pos = diag - w + start_j
+    nm = gap_nm
+    ri, qi = pos, 0
+    for op, oln in cigar:
+        if op == "M":
+            rb = ref_seq[ri : ri + oln]
+            cb = oriented_read[qi : qi + oln]
+            nm += int(np.sum((rb != cb) | (rb == N) | (cb == N)))
+            ri += oln
+            qi += oln
+        elif op == "I":
+            qi += oln
+        else:
+            ri += oln
+    return pos, cigar, nm
+
+
+@dataclass
+class HostAlignments:
+    """Alignment results pulled to host for one batch (numpy, [B])."""
+
+    mapped: np.ndarray
+    strand: np.ndarray
+    pos: np.ndarray          # packed start (exact for ungapped; gapped reads
+                             # carry the traceback-corrected value)
+    score: np.ndarray
+    mapq: np.ndarray
+    x0: np.ndarray
+    x1: np.ndarray
+    nm: np.ndarray
+    ug_equal: np.ndarray
+    cigars: list             # [(op, len)] per read
+    tc_count: np.ndarray     # machine-frame T->C conversions per read
+
+
+class AlignerEngine:
+    """Holds device state and the jitted align step for one reference+profile."""
+
+    def __init__(self, ref: PackedReference, index: KmerIndex,
+                 cfg: AlignConfig, s_tensor: np.ndarray | None = None):
+        self.ref = ref
+        self.sam_ref = ref  # reference used for SAM emission/clusters
+        self.cfg = cfg
+        self.didx = DeviceIndex.from_host(ref, index)
+        self.s_tensor = (s_tensor if s_tensor is not None
+                         else flat_score_tensor(cfg, cfg.max_read_len))
+        self.s_comp = complement_score_tensor(self.s_tensor)
+        self.sprof = ScoreParams.from_tensor(self.s_tensor, cfg)
+        self._align = jax.jit(functools.partial(align_batch, cfg=cfg))
+        self._counts = jax.jit(functools.partial(profile_counts_batch, cfg=cfg))
+
+    def set_profile(self, s_tensor: np.ndarray) -> None:
+        """Swap in a learned score tensor (pass 2). Same compiled fn — the
+        tensor is a runtime argument, not a constant."""
+        self.s_tensor = s_tensor
+        self.s_comp = complement_score_tensor(s_tensor)
+        self.sprof = ScoreParams.from_tensor(s_tensor, self.cfg)
+
+    # --- device steps ---
+    def align_device(self, codes: np.ndarray, lengths: np.ndarray):
+        return self._align(self.didx, self.sprof, codes, lengths,
+                           min_scores_host(lengths, self.cfg))
+
+    def profile_counts_device(self, codes, lengths, res):
+        return self._counts(self.didx, codes, lengths, res.mapped, res.strand,
+                            res.pos, res.ug_equal)
+
+    # --- host finishing ---
+    def to_host(self, batch: ReadBatch, res) -> HostAlignments:
+        """Pull results to host; run tracebacks for the rare gapped reads."""
+        cfg = self.cfg
+        mapped = np.asarray(res.mapped)
+        strand = np.asarray(res.strand)
+        pos = np.asarray(res.pos).copy()
+        score = np.asarray(res.score)
+        ug_eq = np.asarray(res.ug_equal)
+        nm = np.asarray(res.nm).copy()
+        diag = np.asarray(res.diag)
+        cigars: list = []
+        w = cfg.band_width
+        for b in range(batch.n_total):
+            ln = int(batch.lengths[b])
+            if not mapped[b]:
+                cigars.append([])
+                continue
+            if ug_eq[b]:
+                cigars.append([("M", ln)])
+                continue
+            # gapped: host traceback (oracle DP on the winning candidate)
+            oriented = (batch.codes[b, :ln] if strand[b] == 0
+                        else revcomp_codes(batch.codes[b, :ln]))
+            p, cigar, total_nm = host_traceback(
+                self.ref.seq, self.s_tensor, self.s_comp, cfg, oriented, ln,
+                int(strand[b]), int(diag[b]))
+            pos[b] = p
+            cigars.append(cigar)
+            nm[b] = total_nm
+        tc = self._tc_counts(batch, mapped, strand, pos, ug_eq)
+        return HostAlignments(mapped=mapped, strand=strand, pos=pos,
+                              score=score, mapq=np.asarray(res.mapq),
+                              x0=np.asarray(res.x0), x1=np.asarray(res.x1),
+                              nm=nm, ug_equal=ug_eq, cigars=cigars,
+                              tc_count=tc)
+
+    def _tc_counts(self, batch: ReadBatch, mapped, strand, pos, ug_eq) -> np.ndarray:
+        """Machine-frame T->C conversions per ungapped mapped read (vectorized;
+        feeds cluster calling's conversion statistics)."""
+        B, L = batch.codes.shape
+        G = self.ref.seq.shape[0]
+        i = np.arange(L)[None, :]
+        lens = batch.lengths[:, None]
+        off = np.where(strand[:, None] == 0, i, np.clip(lens - 1 - i, 0, L - 1))
+        ridx = np.clip(pos[:, None].astype(np.int64) + off, 0, G - 1)
+        rb = self.ref.seq[ridx].astype(np.int64)
+        comp = np.array([3, 2, 1, 0, 4])
+        rb = np.where(strand[:, None] == 1, comp[rb], rb)
+        cb = batch.codes.astype(np.int64)
+        use = (mapped & ug_eq)[:, None] & (i < lens)
+        return np.sum(use & (rb == 3) & (cb == 1), axis=1).astype(np.int32)
+
+    # --- one-call convenience ---
+    def align_to_host(self, batch: ReadBatch) -> HostAlignments:
+        return self.to_host(batch, self.align_device(batch.codes, batch.lengths))
+
+    def emit_sam(self, batch: ReadBatch, host: HostAlignments, writer) -> None:
+        for b in range(batch.n_real):
+            writer.write(format_record(
+                batch.names[b], batch.codes[b], int(batch.lengths[b]),
+                batch.quals[b], self.ref,
+                mapped=bool(host.mapped[b]), strand=int(host.strand[b]),
+                packed_pos=int(host.pos[b]), mapq=int(host.mapq[b]),
+                cigar=host.cigars[b], score=int(host.score[b]),
+                nm=int(host.nm[b]), x0=int(host.x0[b]), x1=int(host.x1[b])))

@@ -1,0 +1,419 @@
+"""Combined genome+transcriptome reference (SURVEY.md §2 component 7;
+BASELINE.json config 3).
+
+Reference mechanism: PARA-suite aligns reads against genome and transcriptome,
+projects transcript-space hits back to genomic coordinates through the exon
+structure, and keeps the best record per read in a merged BAM.
+
+TPU-native design: transcripts are packed as extra "chromosomes"
+(name prefix "tx::") into ONE PackedReference, so a single index and a single
+device align pass covers both spaces — no second pipeline. Projection back to
+genome is a host-side exon-table walk (vectorized cumulative-length
+searchsorted per SURVEY.md §2; per-record only for the transcript-hit
+minority), emitting spliced CIGARs with N (intron skip) ops for
+junction-spanning reads.
+
+Annotation input: TSV with columns
+    tx_id  chrom  strand(+/-)  exon_starts(comma,0-based)  exon_ends(comma)
+(a BED12-ish exon table; GTF parsing can sit on top).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from parasuite_tpu.config import AlignConfig
+from parasuite_tpu.index.kmer import KmerIndex
+from parasuite_tpu.index.reference import PackedReference
+from parasuite_tpu.utils.dna import revcomp_codes
+
+TX_PREFIX = "tx::"
+
+
+@dataclass
+class Transcript:
+    tx_id: str
+    chrom: str
+    strand: str                 # '+' or '-'
+    exon_starts: np.ndarray     # int64 [n_exons], 0-based, ascending
+    exon_ends: np.ndarray       # int64 [n_exons], exclusive
+
+    @property
+    def spliced_len(self) -> int:
+        return int((self.exon_ends - self.exon_starts).sum())
+
+    @property
+    def cumlens(self) -> np.ndarray:
+        """Spliced-plus offsets of each exon start: [n_exons + 1]."""
+        return np.concatenate([[0], np.cumsum(self.exon_ends - self.exon_starts)])
+
+
+def parse_annotation(path) -> list[Transcript]:
+    out = []
+    for line in Path(path).read_text().splitlines():
+        if not line or line.startswith("#"):
+            continue
+        tx_id, chrom, strand, starts, ends = line.split("\t")
+        s = np.asarray([int(x) for x in starts.split(",") if x], dtype=np.int64)
+        e = np.asarray([int(x) for x in ends.split(",") if x], dtype=np.int64)
+        if not (len(s) == len(e) and np.all(e > s) and np.all(np.diff(s) > 0)):
+            raise ValueError(f"bad exon structure for {tx_id}")
+        out.append(Transcript(tx_id, chrom, strand, s, e))
+    return out
+
+
+def splice_transcript(genome: dict[str, np.ndarray], tx: Transcript) -> np.ndarray:
+    chrom = genome[tx.chrom]
+    parts = [chrom[int(s):int(e)] for s, e in zip(tx.exon_starts, tx.exon_ends)]
+    spliced = np.concatenate(parts)
+    return revcomp_codes(spliced) if tx.strand == "-" else spliced
+
+
+@dataclass
+class CombinedReference:
+    """PackedReference over genome chroms + tx:: pseudo-chroms, plus the exon
+    tables needed for projection."""
+
+    ref: PackedReference
+    transcripts: dict  # tx_id -> Transcript
+    genome_names: list
+
+    @classmethod
+    def build(cls, genome: dict[str, np.ndarray],
+              transcripts: list[Transcript], spacer: int) -> "CombinedReference":
+        seqs = dict(genome)
+        for tx in transcripts:
+            seqs[TX_PREFIX + tx.tx_id] = splice_transcript(genome, tx)
+        ref = PackedReference.from_dict(seqs, spacer=spacer)
+        return cls(ref=ref, transcripts={t.tx_id: t for t in transcripts},
+                   genome_names=list(genome.keys()))
+
+    # --- serialization ---
+    def save(self, prefix) -> None:
+        self.ref.save(prefix)
+        meta = {
+            "genome_names": self.genome_names,
+            "transcripts": [
+                {"tx_id": t.tx_id, "chrom": t.chrom, "strand": t.strand,
+                 "exon_starts": t.exon_starts.tolist(),
+                 "exon_ends": t.exon_ends.tolist()}
+                for t in self.transcripts.values()],
+        }
+        Path(str(prefix) + ".combined.json").write_text(json.dumps(meta))
+
+    @classmethod
+    def load(cls, prefix) -> "CombinedReference":
+        ref = PackedReference.load(prefix)
+        meta = json.loads(Path(str(prefix) + ".combined.json").read_text())
+        txs = {d["tx_id"]: Transcript(
+            d["tx_id"], d["chrom"], d["strand"],
+            np.asarray(d["exon_starts"], dtype=np.int64),
+            np.asarray(d["exon_ends"], dtype=np.int64))
+            for d in meta["transcripts"]}
+        return cls(ref=ref, transcripts=txs, genome_names=meta["genome_names"])
+
+
+def project_to_genome(tx: Transcript, tx_pos: int,
+                      cigar: list[tuple[str, int]], read_strand: int
+                      ) -> tuple[str, int, list[tuple[str, int]], int]:
+    """Project a transcript-space alignment to genome space.
+
+    tx_pos: 0-based start in transcript orientation; cigar: M/I/D ops in
+    transcript space. Returns (chrom, genomic_start_0based, genomic_cigar
+    with N ops for skipped introns, genomic_strand).
+
+    For '-' transcripts the spliced sequence was reverse-complemented, so the
+    alignment interval flips to the spliced-plus frame, the CIGAR reverses,
+    and the strand toggles (read fwd on a '-' transcript = genome reverse).
+    """
+    span = sum(ln for op, ln in cigar if op in "MD")
+    T = tx.spliced_len
+    if tx.strand == "-":
+        s_start = T - (tx_pos + span)
+        walk_cigar = list(reversed(cigar))
+        g_strand = 1 - read_strand
+    else:
+        s_start = tx_pos
+        walk_cigar = list(cigar)
+        g_strand = read_strand
+    if s_start < 0 or tx_pos + span > T:
+        raise ValueError("alignment outside transcript")
+
+    cum = tx.cumlens
+    out: list[tuple[str, int]] = []
+
+    def emit(op: str, ln: int) -> None:
+        if ln == 0:
+            return
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + ln)
+        else:
+            out.append((op, ln))
+
+    s = s_start  # position in spliced-plus coords
+    genomic_start = None
+    prev_gend = None  # genomic end of the last ref-consuming segment
+    for op, ln in walk_cigar:
+        if op == "I":
+            emit("I", ln)
+            continue
+        # M or D consume spliced bases; split across exons, emitting an N op
+        # for every genomic gap (intron) between consecutive segments
+        remaining = ln
+        while remaining > 0:
+            e = int(np.searchsorted(cum, s, side="right")) - 1
+            take = min(remaining, int(cum[e + 1] - s))
+            gpos = int(tx.exon_starts[e] + (s - cum[e]))
+            if genomic_start is None:
+                genomic_start = gpos
+            if prev_gend is not None and gpos > prev_gend:
+                emit("N", gpos - prev_gend)
+            emit(op, take)
+            prev_gend = gpos + take
+            s += take
+            remaining -= take
+    if genomic_start is None:
+        raise ValueError("cigar consumes no reference bases")
+    return tx.chrom, genomic_start, out, g_strand
+
+
+# ---------------------------------------------------------------------------
+# combined alignment engine
+# ---------------------------------------------------------------------------
+
+def _mapq_host(x0: int, x1: int) -> int:
+    """oracle._mapq (kept in sync; BWA bwase.c shape)."""
+    import math
+    if x0 > 1:
+        return 0
+    if x1 == 0:
+        return 37
+    return max(0, 23 - int(4.343 * math.log(x1)))
+
+
+class CombinedEngine:
+    """Aligns against the combined genome+transcriptome packing, projects
+    transcript hits to genome space, and re-finalizes uniqueness/X0/MAPQ in
+    genomic coordinates (a transcript hit and its genomic twin are ONE hit).
+
+    Genome chromosomes are packed first and identically in both the combined
+    and genome-only references, so genome-direct packed positions transfer
+    unchanged; SAM/clusters are emitted against the genome-only reference.
+    """
+
+    def __init__(self, combined: CombinedReference, index: KmerIndex,
+                 cfg: AlignConfig, s_tensor=None):
+        import functools
+
+        import jax
+
+        from parasuite_tpu.errormodel.scoring import (
+            complement_score_tensor, flat_score_tensor)
+        from parasuite_tpu.ops.aligner import align_batch_with_candidates
+        from parasuite_tpu.ops.device_index import DeviceIndex, ScoreParams
+
+        self.combined = combined
+        self.cfg = cfg
+        self.didx = DeviceIndex.from_host(combined.ref, index)
+        self.s_tensor = (s_tensor if s_tensor is not None
+                         else flat_score_tensor(cfg, cfg.max_read_len))
+        self.s_comp = complement_score_tensor(self.s_tensor)
+        self.sprof = ScoreParams.from_tensor(self.s_tensor, cfg)
+        self._align = jax.jit(functools.partial(align_batch_with_candidates,
+                                                cfg=cfg))
+        # genome-only view for emission (identical packing prefix)
+        n_genome = len(combined.genome_names)
+        self.genome_ref = PackedReference(
+            seq=combined.ref.seq[: int(combined.ref.ends[n_genome - 1]) +
+                                 cfg.chrom_spacer],
+            names=combined.ref.names[:n_genome],
+            starts=combined.ref.starts[:n_genome],
+            ends=combined.ref.ends[:n_genome])
+        self._n_genome = n_genome
+        self.sam_ref = self.genome_ref  # SAM/clusters in genome coordinates
+
+    def align_to_host(self, batch):
+        """-> HostAlignments in GENOME packed coordinates, CIGARs may contain
+        N ops for junction-spanning transcript hits."""
+        from parasuite_tpu.ops.device_index import min_scores_host
+        from parasuite_tpu.pipeline.align import HostAlignments, host_traceback
+
+        cfg = self.cfg
+        _res, table = self._align(self.didx, self.sprof, batch.codes,
+                                  batch.lengths,
+                                  min_scores_host(batch.lengths, cfg))
+        valid = np.asarray(table.valid)
+        strand = np.asarray(table.strand)
+        pos = np.asarray(table.pos)
+        score = np.asarray(table.score)
+        ug_eq = np.asarray(table.ug_equal)
+        diag = np.asarray(table.diag)
+        B, n = valid.shape
+        comb = self.combined
+        cref = comb.ref
+        ci_all, local_all = cref.locate(pos.reshape(-1).astype(np.int64))
+        ci_all = ci_all.reshape(B, n)
+        local_all = local_all.reshape(B, n)
+
+        out_mapped = np.zeros(B, dtype=bool)
+        out_strand = np.zeros(B, dtype=np.int32)
+        out_pos = np.full(B, -1, dtype=np.int64)
+        out_score = np.zeros(B, dtype=np.int32)
+        out_mapq = np.zeros(B, dtype=np.int32)
+        out_x0 = np.zeros(B, dtype=np.int32)
+        out_x1 = np.zeros(B, dtype=np.int32)
+        out_nm = np.zeros(B, dtype=np.int32)
+        out_ug = np.ones(B, dtype=bool)
+        out_cigars: list = []
+        out_tc = np.zeros(B, dtype=np.int32)
+
+        from parasuite_tpu.utils.dna import revcomp_codes as _rc
+
+        for b in range(B):
+            ln = int(batch.lengths[b])
+            if ln == 0:
+                out_cigars.append([])
+                continue
+            # gather per-entry genomic records
+            recs = []  # (score, gstrand, gchrom_idx, gpos, src_tx, cigar, nm, entry)
+            for t in range(n):
+                if not valid[b, t]:
+                    continue
+                ci = int(ci_all[b, t])
+                if ci < 0:
+                    continue
+                st = int(strand[b, t])
+                oriented = (batch.codes[b, :ln] if st == 0
+                            else _rc(batch.codes[b, :ln]))
+                name = cref.names[ci]
+                if ci < self._n_genome:
+                    # genome-direct; whole span must stay in-chromosome
+                    if ug_eq[b, t]:
+                        p = int(pos[b, t])
+                        if not (p >= cref.starts[ci]
+                                and p + ln - 1 < cref.ends[ci]):
+                            continue
+                        rb = cref.seq[p : p + ln]
+                        nm = int(np.sum((rb != oriented) | (rb == 4)
+                                        | (oriented == 4)))
+                        recs.append((int(score[b, t]), st, ci, p, 0,
+                                     [("M", ln)], nm))
+                    else:
+                        p, cigar, nm = host_traceback(
+                            cref.seq, self.s_tensor, self.s_comp, cfg,
+                            oriented, ln, st, int(diag[b, t]))
+                        span = sum(l for op, l in cigar if op in "MD")
+                        if not (p >= cref.starts[ci]
+                                and p + span - 1 < cref.ends[ci]):
+                            continue
+                        recs.append((int(score[b, t]), st, ci, p, 0, cigar, nm))
+                else:
+                    tx = comb.transcripts[name[len(TX_PREFIX):]]
+                    if ug_eq[b, t]:
+                        txp = int(local_all[b, t])
+                        cigar0 = [("M", ln)]
+                        p0 = int(pos[b, t])
+                        rb = cref.seq[p0 : p0 + ln]
+                        nm = int(np.sum((rb != oriented) | (rb == 4)
+                                        | (oriented == 4)))
+                    else:
+                        p_packed, cigar0, nm = host_traceback(
+                            cref.seq, self.s_tensor, self.s_comp, cfg,
+                            oriented, ln, st, int(diag[b, t]))
+                        txp = int(p_packed - cref.starts[ci])
+                    try:
+                        chrom, gpos, gcigar, gstrand = project_to_genome(
+                            tx, txp, cigar0, st)
+                    except ValueError:
+                        continue
+                    gci = self.genome_ref.names.index(chrom)
+                    gpacked = int(self.genome_ref.starts[gci]) + gpos
+                    recs.append((int(score[b, t]), gstrand, gci, gpacked, 1,
+                                 gcigar, nm))
+            if not recs:
+                out_cigars.append([])
+                continue
+            # dedupe by (strand, chrom, pos): best score, genome-source first,
+            # then input order
+            seen: dict = {}
+            for idx_r, r in enumerate(recs):
+                key = (r[1], r[2], r[3])
+                prev = seen.get(key)
+                if prev is None or r[0] > recs[prev][0] or (
+                        r[0] == recs[prev][0] and r[4] < recs[prev][4]):
+                    seen[key] = idx_r
+            uniq = [recs[i] for i in sorted(seen.values())]
+            uniq.sort(key=lambda r: (-r[0], r[1], r[2], r[3], r[4]))
+            best = uniq[0]
+            best_score = best[0]
+            x0 = sum(1 for r in uniq if r[0] == best_score)
+            x1 = len(uniq) - x0
+            out_mapped[b] = True
+            out_strand[b] = best[1]
+            out_pos[b] = best[3]
+            out_score[b] = best_score
+            out_x0[b] = x0
+            out_x1[b] = x1
+            out_mapq[b] = _mapq_host(x0, x1)
+            out_nm[b] = best[6]
+            cigar = best[5]
+            out_ug[b] = (len(cigar) == 1 and cigar[0][0] == "M")
+            out_cigars.append(cigar)
+            # machine-frame T->C over M segments (for cluster statistics)
+            st = best[1]
+            oriented = (batch.codes[b, :ln] if st == 0
+                        else _rc(batch.codes[b, :ln]))
+            tc = 0
+            ri, qi = best[3], 0
+            for op, oln in cigar:
+                if op == "M":
+                    rb = self.genome_ref.seq[ri : ri + oln]
+                    cb = oriented[qi : qi + oln]
+                    if st == 0:
+                        tc += int(np.sum((rb == 3) & (cb == 1)))
+                    else:
+                        tc += int(np.sum((rb == 0) & (cb == 2)))
+                    ri += oln
+                    qi += oln
+                elif op == "I":
+                    qi += oln
+                elif op in ("D", "N"):
+                    ri += oln
+            out_tc[b] = tc
+
+        return HostAlignments(mapped=out_mapped, strand=out_strand,
+                              pos=out_pos, score=out_score, mapq=out_mapq,
+                              x0=out_x0, x1=out_x1, nm=out_nm,
+                              ug_equal=out_ug, cigars=out_cigars,
+                              tc_count=out_tc)
+
+    def emit_sam(self, batch, host, writer) -> None:
+        from parasuite_tpu.io.sam import format_record
+
+        for b in range(batch.n_real):
+            writer.write(format_record(
+                batch.names[b], batch.codes[b], int(batch.lengths[b]),
+                batch.quals[b], self.genome_ref,
+                mapped=bool(host.mapped[b]), strand=int(host.strand[b]),
+                packed_pos=int(host.pos[b]), mapq=int(host.mapq[b]),
+                cigar=host.cigars[b], score=int(host.score[b]),
+                nm=int(host.nm[b]), x0=int(host.x0[b]), x1=int(host.x1[b])))
+
+
+def build_combined_index(fasta, annotation, out_prefix, cfg: AlignConfig) -> dict:
+    """CLI entry: FASTA + exon table -> combined packed ref + k-mer index."""
+    from parasuite_tpu.io.fasta import read_fasta
+
+    genome = read_fasta(fasta)
+    txs = parse_annotation(annotation)
+    comb = CombinedReference.build(genome, txs, spacer=cfg.chrom_spacer)
+    idx = KmerIndex.build(comb.ref.seq, cfg.kmer_size)
+    comb.save(out_prefix)
+    idx.save(out_prefix)
+    Path(str(out_prefix) + ".config.json").write_text(cfg.to_json())
+    return {"genome_chroms": len(genome), "transcripts": len(txs),
+            "packed_len": comb.ref.total_len, "kmers": idx.n_kmers}

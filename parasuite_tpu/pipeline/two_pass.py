@@ -1,0 +1,57 @@
+"""Two-pass profile-aware alignment (SURVEY.md §2 component 2, §3.1).
+
+Reference flow: bwa aln (flat) -> ErrorProfile.infer -> parasuite-aligner
+with .errorprofile -> merged BAM, stitched together with subprocesses and
+intermediate files. Here it is one loop: pass 1 aligns with the flat tensor
+while psum/accumulating the count matrix on device, the learned tensor is
+derived host-side (it is tiny), and pass 2 re-aligns with the learned tensor
+through the same compiled function (SURVEY.md §7: one code path, two
+matrices).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+
+from parasuite_tpu.config import AlignConfig
+from parasuite_tpu.errormodel.infer import ErrorProfile, counts_to_profile
+from parasuite_tpu.io.batch import ReadBatch
+from parasuite_tpu.pipeline.align import AlignerEngine
+
+
+def infer_profile_streaming(engine: AlignerEngine,
+                            batches: Iterable[ReadBatch]) -> ErrorProfile:
+    """Pass 1: align with the current tensor, accumulate substitution counts."""
+    total = np.zeros((engine.cfg.max_read_len, 4, 4), dtype=np.int64)
+    n_reads = 0
+    for batch in batches:
+        res = engine.align_device(batch.codes, batch.lengths)
+        counts = engine.profile_counts_device(batch.codes, batch.lengths, res)
+        total += np.asarray(counts, dtype=np.int64)
+        n_reads += int(np.asarray(
+            res.mapped & res.ug_equal & (batch.lengths > 0)).sum())
+    return ErrorProfile(counts=total, n_reads=n_reads)
+
+
+def two_pass_align(engine: AlignerEngine,
+                   batch_source: Callable[[], Iterable[ReadBatch]],
+                   sam_writer=None,
+                   profile_path=None) -> ErrorProfile:
+    """Full two-pass pipeline.
+
+    batch_source is a zero-arg callable returning a fresh batch iterator
+    (the FASTQ is streamed twice, like the reference's two alignment passes).
+    Returns the inferred profile; pass-2 records go to sam_writer if given.
+    """
+    profile = infer_profile_streaming(engine, batch_source())
+    if profile_path is not None:
+        profile.save(profile_path)
+    s_learned = counts_to_profile(profile, engine.cfg)
+    engine.set_profile(s_learned)
+    if sam_writer is not None:
+        for batch in batch_source():
+            host = engine.align_to_host(batch)
+            engine.emit_sam(batch, host, sam_writer)
+    return profile

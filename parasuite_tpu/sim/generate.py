@@ -1,0 +1,150 @@
+"""PAR-CLIP read simulator (SURVEY.md §2 component 8, §3.4).
+
+Reference mechanism: per-read Java sampling loop — sample position, copy
+bases, inject T->C conversions at crosslink sites plus sequencing errors per
+learned profile, write FASTQ + ground truth. Here the whole batch is drawn
+with jax.random (counter-based threefry): the same (seed, read index) pair
+produces the same read at any batch size or shard count, which is what makes
+the distributed benchmark configs reproducible (SURVEY.md §2 component 8
+"reproducible across shard counts").
+
+Error model: conversions first (every machine-frame T converts i.i.d. with
+tc_rate — or only inside a crosslink window in site mode), then sequencing
+errors: either a learned profile's conditional table P(obs | true, cycle) or
+a flat uniform error rate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parasuite_tpu.config import AlignConfig
+from parasuite_tpu.index.reference import PackedReference
+from parasuite_tpu.utils.dna import C, N, T
+
+
+@dataclass
+class SimTruth:
+    """Ground truth for simulated reads (all [n])."""
+
+    packed_pos: np.ndarray   # int64 packed start of the source fragment
+    chrom_idx: np.ndarray    # int32
+    local_pos: np.ndarray    # int64 0-based within chromosome
+    strand: np.ndarray       # int8
+    n_conversions: np.ndarray  # int32 injected T->C count
+    n_errors: np.ndarray     # int32 injected sequencing errors
+
+    def names(self, prefix: str = "sim") -> list[str]:
+        return [f"{prefix}_{i}:{int(self.chrom_idx[i])}:"
+                f"{int(self.local_pos[i])}:{int(self.strand[i])}"
+                for i in range(self.packed_pos.shape[0])]
+
+    @staticmethod
+    def parse_name(name: str) -> tuple[int, int, int]:
+        """-> (chrom_idx, local_pos, strand)."""
+        _, ci, pos, strand = name.rsplit(":", 3)
+        return int(ci), int(pos), int(strand)
+
+
+def _valid_starts(ref: PackedReference, read_len: int) -> np.ndarray:
+    """Packed positions whose read_len window contains no N (host, once)."""
+    is_n = (ref.seq == N).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(is_n)])
+    n = ref.total_len - read_len + 1
+    ok = (cum[read_len:] - cum[:-read_len]) == 0
+    return np.nonzero(ok)[0].astype(np.int64)
+
+
+def simulate_reads(ref: PackedReference, n: int, read_len: int,
+                   cfg: AlignConfig, seed: int | None = None,
+                   profile_probs: np.ndarray | None = None,
+                   tc_rate: float | None = None,
+                   site_positions: np.ndarray | None = None
+                   ) -> tuple[np.ndarray, np.ndarray, SimTruth]:
+    """-> (codes int8 [n, read_len], lengths int32 [n], SimTruth).
+
+    site_positions: optional packed coordinates of crosslink sites; when
+    given, reads are sampled to overlap a site and conversions only occur at
+    machine-frame Ts within +-2 of the site (binding-site mode for the
+    cluster-calling config); otherwise positions are uniform over N-free
+    windows and every T converts i.i.d.
+    """
+    tc_rate = cfg.sim_tc_rate if tc_rate is None else tc_rate
+    seed = cfg.seed if seed is None else seed
+    key = jax.random.PRNGKey(seed)
+    k_pos, k_strand, k_tc, k_err, k_errbase = jax.random.split(key, 5)
+
+    if site_positions is not None:
+        sites = np.asarray(site_positions, dtype=np.int64)
+        k_site, k_off = jax.random.split(k_pos)
+        si = jax.random.randint(k_site, (n,), 0, sites.shape[0])
+        # read must cover the site: offset of site within read in [2, L-3]
+        off = jax.random.randint(k_off, (n,), 2, read_len - 2)
+        pos = jnp.asarray(sites)[si] - off
+        site_off = off
+    else:
+        starts = _valid_starts(ref, read_len)
+        idx = jax.random.randint(k_pos, (n,), 0, starts.shape[0])
+        pos = jnp.asarray(starts)[idx]
+        site_off = None
+
+    strand = jax.random.bernoulli(k_strand, 0.5, (n,)).astype(jnp.int8)
+
+    seq_dev = jnp.asarray(ref.seq)
+    G = ref.total_len
+    i = jnp.arange(read_len)
+    ridx = jnp.clip(pos[:, None] + i[None, :], 0, G - 1)
+    frag = seq_dev[ridx].astype(jnp.int32)
+    comp = jnp.asarray([3, 2, 1, 0, 4])
+    machine = jnp.where(strand[:, None] == 1, comp[frag[:, ::-1]], frag)
+
+    # T->C conversions (machine frame: PAR-CLIP conversions always read T->C)
+    u_tc = jax.random.uniform(k_tc, (n, read_len))
+    conv_ok = (machine == T) & (u_tc < tc_rate)
+    if site_off is not None:
+        # restrict to +-2 around the crosslink site, in machine coordinates
+        m_off = jnp.where(strand == 1, read_len - 1 - site_off, site_off)
+        near = jnp.abs(i[None, :] - m_off[:, None]) <= 2
+        conv_ok = conv_ok & near
+    converted = jnp.where(conv_ok, C, machine)
+
+    # sequencing errors
+    if profile_probs is not None:
+        p = np.asarray(profile_probs, dtype=np.float64)[:read_len]
+        logits = jnp.log(jnp.asarray(p, dtype=jnp.float32) + 1e-12)
+        row = logits[i[None, :], converted]          # [n, L, 4]
+        drawn = jax.random.categorical(k_err, row, axis=-1)
+        final = drawn.astype(jnp.int32)
+    else:
+        u_err = jax.random.uniform(k_err, (n, read_len))
+        shift = jax.random.randint(k_errbase, (n, read_len), 1, 4)
+        err = u_err < cfg.sim_error_rate
+        final = jnp.where(err, (converted + shift) % 4, converted)
+
+    n_conv = jnp.sum(conv_ok, axis=1).astype(jnp.int32)
+    n_err = jnp.sum(final != converted, axis=1).astype(jnp.int32)
+
+    codes = np.asarray(final, dtype=np.int8)
+    pos_np = np.asarray(pos, dtype=np.int64)
+    ci, local = ref.locate(pos_np)
+    truth = SimTruth(packed_pos=pos_np, chrom_idx=ci.astype(np.int32),
+                     local_pos=local, strand=np.asarray(strand, dtype=np.int8),
+                     n_conversions=np.asarray(n_conv),
+                     n_errors=np.asarray(n_err))
+    lengths = np.full(n, read_len, dtype=np.int32)
+    return codes, lengths, truth
+
+
+def simulate_binding_sites(ref: PackedReference, n_sites: int, read_len: int,
+                           seed: int = 0) -> np.ndarray:
+    """Sample crosslink-site packed coordinates (machine-frame T positions
+    are not enforced; conversion masking handles that)."""
+    rng = np.random.default_rng(seed)
+    starts = _valid_starts(ref, read_len)
+    # keep sites far enough from window edges for any offset
+    ok = starts[(starts > read_len) & (starts < ref.total_len - 2 * read_len)]
+    return np.sort(rng.choice(ok, size=n_sites, replace=False))

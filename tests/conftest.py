@@ -5,12 +5,20 @@ Must run before jax is imported anywhere — pytest imports conftest first.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the ambient environment points at a TPU backend
+# (JAX_PLATFORMS=axon + a sitecustomize that overrides the env var in this
+# build image — jax.config must be updated post-import); set
+# PARASUITE_TEST_TPU=1 to run the suite against the real chip instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if not os.environ.get("PARASUITE_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

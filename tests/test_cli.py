@@ -1,0 +1,98 @@
+"""CLI toolkit end-to-end (SURVEY.md §2 component 1), via real subprocesses."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(*argv, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    p = subprocess.run([sys.executable, "-m", "parasuite_tpu.cli", *map(str, argv)],
+                       capture_output=True, text=True, cwd=cwd, env=env,
+                       timeout=600)
+    assert p.returncode == 0, f"cli failed: {p.stderr[-2000:]}"
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+CFG_FLAGS = ["--max-read-len", "50", "--kmer-size", "8", "--band-width", "3",
+             "--batch-size", "64"]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, tiny_ref):
+    d = tmp_path_factory.mktemp("cli")
+    from parasuite_tpu.io.fasta import write_fasta
+
+    seqs = {name: tiny_ref.seq[tiny_ref.starts[i]:tiny_ref.ends[i]]
+            for i, name in enumerate(tiny_ref.names)}
+    write_fasta(d / "ref.fa", seqs)
+    return d
+
+
+def test_cli_full_pipeline(workdir):
+    d = workdir
+    out = run_cli("index", d / "ref.fa", d / "idx", *CFG_FLAGS, cwd=d)
+    assert out["chroms"] == 2
+
+    out = run_cli("simulate", d / "idx", d / "reads.fastq", "--n-reads", "200",
+                  "--tc-rate", "0.15", *CFG_FLAGS, cwd=d)
+    assert out["reads"] == 200 and out["conversions"] > 0
+
+    out = run_cli("align", d / "idx", d / "reads.fastq", d / "out.sam",
+                  *CFG_FLAGS, cwd=d)
+    assert out["reads"] == 200
+    sam = (d / "out.sam").read_text().splitlines()
+    assert sum(1 for l in sam if not l.startswith("@")) == 200
+    assert (d / "out.sam.config.json").exists()
+
+    out = run_cli("twopass", d / "idx", d / "reads.fastq", d / "tp.sam",
+                  *CFG_FLAGS, cwd=d)
+    assert out["profiled_reads"] > 150
+    assert Path(out["profile"]).exists()
+
+    # align again consuming the learned profile
+    out = run_cli("align", d / "idx", d / "reads.fastq", d / "out2.sam",
+                  "--profile", out["profile"], *CFG_FLAGS, cwd=d)
+    assert out["reads"] == 200
+
+    out = run_cli("cluster", d / "idx", d / "tp.sam", d / "clusters.tsv",
+                  "--cluster-min-reads", "1", *CFG_FLAGS, cwd=d)
+    assert out["alignments"] > 150
+    lines = (d / "clusters.tsv").read_text().splitlines()
+    assert lines[0].startswith("#chrom")
+
+    out = run_cli("benchmark", d / "idx", "--n-reads", "100", *CFG_FLAGS, cwd=d)
+    assert out["sensitivity"] > 0.9
+    assert out["items_per_second"] > 0
+
+
+def test_cli_combined(workdir):
+    d = workdir
+    (d / "ann.tsv").write_text("txA\tchrA\t+\t1200,2400\t1500,2700\n")
+    out = run_cli("combine", d / "ref.fa", d / "ann.tsv", d / "cidx",
+                  *CFG_FLAGS, cwd=d)
+    assert out["transcripts"] == 1
+
+    # simulate reads from the combined index (includes transcript space),
+    # then align back: junction reads must project cleanly
+    out = run_cli("simulate", d / "cidx", d / "creads.fastq", "--n-reads",
+                  "120", *CFG_FLAGS, cwd=d)
+    out = run_cli("align", d / "cidx", d / "creads.fastq", d / "cout.sam",
+                  *CFG_FLAGS, cwd=d)
+    assert out["reads"] == 120
+    recs = [l.split("\t") for l in (d / "cout.sam").read_text().splitlines()
+            if not l.startswith("@")]
+    mapped = [r for r in recs if r[1] != "4"]
+    assert len(mapped) > 100
+    assert all(not r[2].startswith("tx::") for r in mapped)
+    # at least one junction CIGAR from reads simulated inside transcripts
+    assert any("N" in r[5] for r in mapped)

@@ -1,0 +1,140 @@
+"""End-to-end pipeline tests: simulate -> align -> SAM / profile / clusters
+(SURVEY.md §4.3 simulator round-trip; BASELINE.json configs 1-2 in miniature)."""
+
+import numpy as np
+import pytest
+
+from parasuite_tpu.benchkit import evaluate_against_truth
+from parasuite_tpu.errormodel.infer import ErrorProfile
+from parasuite_tpu.io.batch import ReadBatch
+from parasuite_tpu.io.sam import SamWriter
+from parasuite_tpu.pipeline import AlignerEngine, call_clusters, two_pass_align
+from parasuite_tpu.sim import simulate_reads, simulate_binding_sites
+from parasuite_tpu.utils.dna import T, C
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_ref, tiny_index, small_cfg):
+    return AlignerEngine(tiny_ref, tiny_index, small_cfg)
+
+
+def _mk_batch(codes, lengths, prefix="r"):
+    names = [f"{prefix}{i}" for i in range(codes.shape[0])]
+    quals = [b"I" * int(lengths[i]) for i in range(codes.shape[0])]
+    return ReadBatch(codes=codes, lengths=lengths, names=names, quals=quals)
+
+
+def test_simulator_roundtrip(engine, tiny_ref, small_cfg):
+    codes, lengths, truth = simulate_reads(tiny_ref, 200, 50, small_cfg,
+                                           seed=7, tc_rate=0.08)
+    assert truth.n_conversions.sum() > 50  # conversions actually injected
+    host = engine.align_to_host(_mk_batch(codes, lengths))
+    rep = evaluate_against_truth(truth, host.mapped, host.strand, host.pos)
+    assert rep.sensitivity >= 0.97
+    assert rep.precision >= 0.99
+
+
+def test_simulator_determinism(tiny_ref, small_cfg):
+    c1, _, t1 = simulate_reads(tiny_ref, 50, 50, small_cfg, seed=11)
+    c2, _, t2 = simulate_reads(tiny_ref, 50, 50, small_cfg, seed=11)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(t1.packed_pos, t2.packed_pos)
+    c3, _, _ = simulate_reads(tiny_ref, 50, 50, small_cfg, seed=12)
+    assert not np.array_equal(c1, c3)
+
+
+def test_sam_emission(engine, tiny_ref, small_cfg, tmp_path):
+    codes, lengths, truth = simulate_reads(tiny_ref, 40, 50, small_cfg, seed=8)
+    batch = _mk_batch(codes, lengths)
+    host = engine.align_to_host(batch)
+    out = tmp_path / "out.sam"
+    with SamWriter(out, tiny_ref, command_line="test") as w:
+        engine.emit_sam(batch, host, w)
+    lines = out.read_text().splitlines()
+    headers = [l for l in lines if l.startswith("@")]
+    records = [l for l in lines if not l.startswith("@")]
+    assert len(headers) == 4  # @HD + 2 @SQ + @PG
+    assert len(records) == 40
+    for rec in records:
+        f = rec.split("\t")
+        assert len(f) >= 11
+        if f[1] != "4":
+            assert f[2] in tiny_ref.names
+            assert int(f[3]) >= 1
+            assert f[5].endswith("M")
+
+
+def test_two_pass_improves_scoring(engine, tiny_ref, small_cfg, tmp_path):
+    """Config 2 in miniature: learned profile makes T->C cheap; conversion-
+    heavy reads that fail the flat threshold become mappable."""
+    heavy_cfg = small_cfg
+    codes, lengths, truth = simulate_reads(tiny_ref, 300, 50, heavy_cfg,
+                                           seed=9, tc_rate=0.15)
+    batch = _mk_batch(codes, lengths)
+
+    # pass 1 (flat)
+    host1 = engine.align_to_host(batch)
+    scores1 = host1.score[host1.mapped]
+
+    def source():
+        yield batch
+
+    profile = two_pass_align(engine, lambda: source(),
+                             profile_path=tmp_path / "p.errorprofile")
+    try:
+        # profile recovered the T->C signal
+        tc = profile.conversion_rate(T, C)
+        assert tc.mean() > 0.05
+        # saved profile round-trips
+        back = ErrorProfile.load(tmp_path / "p.errorprofile")
+        np.testing.assert_array_equal(back.counts, profile.counts)
+
+        # pass 2: conversion positions now score higher
+        host2 = engine.align_to_host(batch)
+        rep2 = evaluate_against_truth(truth, host2.mapped, host2.strand,
+                                      host2.pos)
+        assert rep2.sensitivity >= 0.97
+        both = host1.mapped & host2.mapped
+        # learned scores for converted reads dominate flat scores
+        gained = (host2.score[both].astype(int) - host1.score[both].astype(int))
+        assert np.median(gained[truth.n_conversions[both] > 2]) > 0
+    finally:
+        from parasuite_tpu.errormodel.scoring import flat_score_tensor
+        engine.set_profile(flat_score_tensor(small_cfg, small_cfg.max_read_len))
+
+
+def test_cluster_calling(engine, tiny_ref, small_cfg):
+    """Binding-site mode: reads pile up at sites; clusters recover them."""
+    sites = simulate_binding_sites(tiny_ref, 6, 50, seed=3)
+    codes, lengths, truth = simulate_reads(tiny_ref, 240, 50, small_cfg,
+                                           seed=10, tc_rate=0.9,
+                                           site_positions=sites)
+    host = engine.align_to_host(_mk_batch(codes, lengths))
+    m = host.mapped
+    span = np.full(m.sum(), 50, dtype=np.int32)  # ungapped reads span 50
+    clusters = call_clusters(tiny_ref, host.pos[m].astype(np.int64), span,
+                             host.tc_count[m], small_cfg)
+    assert 4 <= len(clusters) <= 6  # sites recovered (some may get <2 reads)
+    total_reads = sum(c.n_reads for c in clusters)
+    assert total_reads >= 0.9 * int(m.sum())
+    for c in clusters:
+        assert c.n_tc >= 1
+        assert 0 <= c.conversion_specificity <= 1
+        assert c.end - c.start >= 50
+        # each cluster must contain a simulated site
+        ci = tiny_ref.names.index(c.chrom)
+        local_sites = sites - int(tiny_ref.starts[ci])
+        assert np.any((local_sites >= c.start - 5) & (local_sites < c.end + 5))
+
+
+def test_tc_count_strand_correct(engine, tiny_ref, small_cfg):
+    """tc_count must count machine-frame T->C on both strands."""
+    codes, lengths, truth = simulate_reads(tiny_ref, 100, 50, small_cfg,
+                                           seed=13, tc_rate=0.2)
+    host = engine.align_to_host(_mk_batch(codes, lengths))
+    ok = host.mapped & host.ug_equal & (host.nm == truth.n_conversions + truth.n_errors)
+    # for reads where all mismatches are conversions, tc_count == n_conversions
+    pure = ok & (truth.n_errors == 0)
+    assert pure.sum() > 20
+    np.testing.assert_array_equal(host.tc_count[pure], truth.n_conversions[pure])
+    assert (host.strand[pure] == 1).any() and (host.strand[pure] == 0).any()
