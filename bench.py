@@ -25,6 +25,9 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+# persistent XLA compilation cache: compiles on the remote-TPU tunnel take
+# minutes; cache hits make repeat bench runs start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
 # benchmark scale (chr22-like synthetic reference; deterministic)
 REF_LEN = 20_000_000

@@ -91,18 +91,16 @@ def cmd_index(args) -> int:
 
 
 def cmd_align(args) -> int:
-    from parasuite_tpu.io.sam import SamWriter
+    from parasuite_tpu.pipeline.stream import streaming_align
+    from parasuite_tpu.utils.runlog import RunLog
 
     cfg = _cfg_from_args(args)
     engine = _load_engine(args, cfg)
+    log = RunLog(args.log) if args.log else RunLog()
     t0 = time.perf_counter()
-    n = 0
-    with SamWriter(args.out, engine.sam_ref,
-                   command_line=" ".join(sys.argv[1:])) as w:
-        for batch in _batches(args, cfg)():
-            host = engine.align_to_host(batch)
-            engine.emit_sam(batch, host, w)
-            n += batch.n_real
+    n, _, _ = streaming_align(engine, args.fastq, args.out,
+                              resume=args.resume, log=log,
+                              command_line=" ".join(sys.argv[1:]))
     Path(str(args.out) + ".config.json").write_text(cfg.to_json())
     dt = time.perf_counter() - t0
     print(json.dumps({"tool": "align", "reads": n,
@@ -112,18 +110,32 @@ def cmd_align(args) -> int:
 
 
 def cmd_twopass(args) -> int:
-    from parasuite_tpu.io.sam import SamWriter
-    from parasuite_tpu.pipeline import two_pass_align
+    from parasuite_tpu.errormodel.infer import ErrorProfile, counts_to_profile
+    from parasuite_tpu.pipeline.stream import streaming_align
+    from parasuite_tpu.utils.runlog import RunLog
 
     cfg = _cfg_from_args(args)
     engine = _load_engine(args, cfg)
+    log = RunLog(args.log) if args.log else RunLog()
     profile_out = args.profile_out or (str(args.out) + ".errorprofile")
-    with SamWriter(args.out, engine.sam_ref,
-                   command_line=" ".join(sys.argv[1:])) as w:
-        profile = two_pass_align(engine, _batches(args, cfg), sam_writer=w,
-                                 profile_path=profile_out)
+    cl = " ".join(sys.argv[1:])
+
+    # pass 1: flat scoring, first-pass SAM + on-device profile counts
+    pass1_sam = str(args.out) + ".pass1.sam"
+    _n1, counts, n_profiled = streaming_align(
+        engine, args.fastq, pass1_sam, resume=args.resume,
+        with_profile_counts=True, log=log, command_line=cl)
+    profile = ErrorProfile(counts=counts, n_reads=n_profiled)
+    profile.save(profile_out)
+    log.event("twopass.profile", n_reads=profile.n_reads)
+
+    # pass 2: learned scoring
+    engine.set_profile(counts_to_profile(profile, cfg))
+    n, _, _ = streaming_align(engine, args.fastq, args.out,
+                              resume=args.resume, log=log, command_line=cl)
     Path(str(args.out) + ".config.json").write_text(cfg.to_json())
-    print(json.dumps({"tool": "twopass", "profiled_reads": profile.n_reads,
+    print(json.dumps({"tool": "twopass", "reads": n,
+                      "profiled_reads": profile.n_reads,
                       "profile": str(profile_out)}))
     return 0
 
@@ -248,6 +260,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("fastq")
     p.add_argument("out")
     p.add_argument("--profile", help=".errorprofile for profile-aware scoring")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <out>.progress.json checkpoint")
+    p.add_argument("--log", help="append per-batch JSONL stats here")
     _add_cfg_flags(p)
     p.set_defaults(fn=cmd_align)
 
@@ -256,6 +271,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("fastq")
     p.add_argument("out")
     p.add_argument("--profile-out", dest="profile_out")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log", help="append per-batch JSONL stats here")
     _add_cfg_flags(p)
     p.set_defaults(fn=cmd_twopass)
 

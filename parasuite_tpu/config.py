@@ -63,6 +63,8 @@ class AlignConfig:
     chrom_spacer: int = 256          # N bases packed between chroms (> L + 2W,
                                      # so no alignment window straddles chroms)
     seed: int = 0                    # PRNG seed for simulation
+    extend_impl: str = "auto"        # extension stage: jnp | pallas | auto
+                                     # (auto = pallas on TPU backends)
 
     def __post_init__(self) -> None:
         if self.chrom_spacer < self.max_read_len + 2 * self.band_width:

@@ -57,7 +57,17 @@ class KmerIndex:
     positions: np.ndarray      # int32 [n_kmers]
 
     @classmethod
-    def build(cls, seq: np.ndarray, k: int) -> "KmerIndex":
+    def build(cls, seq: np.ndarray, k: int, use_native: str = "auto") -> "KmerIndex":
+        """Counting sort: native C++ path when built (bit-identical contract
+        enforced by tests/test_native.py), numpy otherwise."""
+        if use_native != "never":
+            from parasuite_tpu import native
+
+            if native.available():
+                starts_n, pos_n = native.kmer_index_build(seq, k)
+                return cls(k=k, bucket_starts=starts_n, positions=pos_n)
+            if use_native == "always":
+                raise RuntimeError("native library requested but unavailable")
         codes, valid = kmer_codes(seq, k)
         pos = np.nonzero(valid)[0].astype(np.int64)
         vcodes = codes[pos]

@@ -1,0 +1,107 @@
+"""ctypes wrapper around the C++ host-side fast paths (see
+parasuite_native.cpp for the design rationale and the numpy-fallback
+contract).
+
+Usage: call available() to check (attempts a lazy `make` the first time);
+kmer_index_build() and fastq_scan_file() raise if the library is missing —
+callers (index.kmer.KmerIndex.build, io.fastq) fall back to numpy paths that
+produce bit-identical output.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libparasuite_native.so"
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(["make", "-s", "-C", str(_DIR)], timeout=120,
+                           capture_output=True, check=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.ps_abi_version.restype = ctypes.c_int32
+        if lib.ps_abi_version() != 1:
+            return None
+        lib.ps_kmer_index_build.restype = ctypes.c_int64
+        lib.ps_kmer_index_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.ps_fastq_scan.restype = ctypes.c_int64
+        lib.ps_fastq_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64)]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def kmer_index_build(seq: np.ndarray, k: int):
+    """-> (bucket_starts int32 [4^k+1], positions int32 [n_kmers])."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    seq = np.ascontiguousarray(seq, dtype=np.int8)
+    nb = 4 ** k
+    bucket_starts = np.zeros(nb + 1, dtype=np.int32)
+    positions = np.empty(max(seq.shape[0], 1), dtype=np.int32)
+    n = lib.ps_kmer_index_build(
+        seq.ctypes.data, seq.shape[0], k,
+        bucket_starts.ctypes.data, positions.ctypes.data)
+    if n < 0:
+        raise RuntimeError("ps_kmer_index_build failed")
+    return bucket_starts, positions[:n].copy()
+
+
+def fastq_scan_chunk(buf: bytes, max_reads: int, max_len: int):
+    """Parse complete records from a bytes chunk.
+
+    -> (n_parsed, consumed_bytes, codes int8 [max_reads, max_len],
+        lengths int32, names list[str], quals list[bytes])
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    codes = np.full((max_reads, max_len), 4, dtype=np.int8)
+    lengths = np.zeros(max_reads, dtype=np.int32)
+    quals = np.full((max_reads, max_len), ord("I"), dtype=np.uint8)
+    names_cap = max(4096, len(buf))
+    names_buf = ctypes.create_string_buffer(names_cap)
+    name_off = np.zeros(max_reads + 1, dtype=np.int64)
+    consumed = ctypes.c_int64(0)
+    n = lib.ps_fastq_scan(
+        buf, len(buf), max_reads, max_len,
+        codes.ctypes.data, lengths.ctypes.data,
+        ctypes.addressof(names_buf), names_cap,
+        name_off.ctypes.data, quals.ctypes.data,
+        ctypes.byref(consumed))
+    if n < 0:
+        raise ValueError("malformed FASTQ chunk")
+    names = []
+    raw = names_buf.raw
+    for i in range(n):
+        names.append(raw[int(name_off[i]):int(name_off[i + 1])].decode("ascii"))
+    qlist = [quals[i, : lengths[i]].tobytes() for i in range(n)]
+    return int(n), int(consumed.value), codes, lengths, names, qlist

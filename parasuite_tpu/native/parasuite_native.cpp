@@ -1,0 +1,159 @@
+// parasuite_native — host-side C++ fast paths.
+//
+// TPU-native replacement for the reference's native index-construction and
+// record-parsing code (upstream BWA bwtindex.c/is.c build the BWT/suffix
+// array in C; SURVEY.md §2 components 5 and 9). The device consumes a dense
+// k-mer bucket index instead of a BWT, so the native job here is the
+// counting sort that builds it, plus FASTQ tokenization+2-bit encoding for
+// the 50M-read streaming configs. Exposed as a plain C ABI consumed via
+// ctypes (no pybind11 in this environment); the numpy fallbacks in
+// index/kmer.py and io/fastq.py produce bit-identical outputs (enforced by
+// tests/test_native.py).
+//
+// Build: make -C parasuite_tpu/native   ->  libparasuite_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// k-mer index construction: counting sort over rolling 2-bit codes.
+// seq: int8 codes 0..4 (4 = N), length n. k <= 15.
+// bucket_starts: int32[4^k + 1] (out). positions: int32[capacity] (out),
+// capacity must be >= number of valid k-mers (n - k + 1 upper bound).
+// Returns the number of k-mers written, or -1 on error.
+// Positions within a bucket come out ascending (iteration order), matching
+// numpy's stable (code, position) sort — determinism contract.
+// ---------------------------------------------------------------------------
+int64_t ps_kmer_index_build(const int8_t* seq, int64_t n, int32_t k,
+                            int32_t* bucket_starts, int32_t* positions) {
+    if (k < 1 || k > 15 || n < 0) return -1;
+    const int64_t nb = int64_t(1) << (2 * k);
+    const uint64_t mask = uint64_t(nb) - 1;
+
+    // pass 1: count occurrences per code
+    std::vector<int32_t> counts(size_t(nb), 0);
+    uint64_t code = 0;
+    int64_t run = 0, total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int8_t b = seq[i];
+        if (b < 0 || b >= 4) {
+            run = 0;
+            code = 0;
+        } else {
+            code = ((code << 2) | uint64_t(b)) & mask;
+            ++run;
+        }
+        if (run >= k) {
+            ++counts[code];
+            ++total;
+        }
+    }
+    if (total > INT32_MAX) return -1;
+
+    // exclusive prefix sum -> bucket_starts
+    int64_t s = 0;
+    for (int64_t c = 0; c < nb; ++c) {
+        bucket_starts[c] = int32_t(s);
+        s += counts[c];
+    }
+    bucket_starts[nb] = int32_t(s);
+
+    // pass 2: fill positions using per-bucket cursors
+    std::vector<int32_t> cursor(bucket_starts, bucket_starts + nb);
+    code = 0; run = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int8_t b = seq[i];
+        if (b < 0 || b >= 4) { run = 0; code = 0; }
+        else { code = ((code << 2) | uint64_t(b)) & mask; ++run; }
+        if (run >= k) positions[cursor[code]++] = int32_t(i - k + 1);
+    }
+    return total;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ chunk scanner: tokenize complete 4-line records from buf, 2-bit
+// encode sequences into fixed-shape [max_reads, max_len] code rows
+// (pre-initialized by caller to 4 = N padding).
+//   codes      int8 [max_reads * max_len]
+//   lengths    int32[max_reads]
+//   names      char [names_cap]         (concatenated, no separators)
+//   name_off   int64[max_reads + 1]     (name_off[0] must be 0 on entry)
+//   quals      char [max_reads * max_len] (space-padded)
+//   consumed   out: bytes of buf consumed (complete records only)
+// Returns number of records parsed (>= 0), or -1 on malformed input.
+// ---------------------------------------------------------------------------
+int64_t ps_fastq_scan(const char* buf, int64_t len, int64_t max_reads,
+                      int32_t max_len, int8_t* codes, int32_t* lengths,
+                      char* names, int64_t names_cap, int64_t* name_off,
+                      char* quals, int64_t* consumed) {
+    static int8_t lut[256];
+    static bool lut_init = false;
+    if (!lut_init) {
+        for (int i = 0; i < 256; ++i) lut[i] = 4;
+        lut['A'] = 0; lut['a'] = 0;
+        lut['C'] = 1; lut['c'] = 1;
+        lut['G'] = 2; lut['g'] = 2;
+        lut['T'] = 3; lut['t'] = 3;
+        lut_init = true;
+    }
+    int64_t pos = 0, nrec = 0, namew = name_off[0];
+    *consumed = 0;
+    while (nrec < max_reads) {
+        int64_t p = pos;
+        // line 1: @name
+        while (p < len && (buf[p] == '\n' || buf[p] == '\r')) ++p;
+        if (p >= len) break;
+        if (buf[p] != '@') return -1;
+        int64_t h0 = p + 1, h1 = h0;
+        while (h1 < len && buf[h1] != '\n') ++h1;
+        if (h1 >= len) break;  // incomplete record
+        int64_t tok = h0;
+        while (tok < h1 && buf[tok] != ' ' && buf[tok] != '\t'
+               && buf[tok] != '\r') ++tok;
+        // line 2: sequence
+        int64_t s0 = h1 + 1, s1 = s0;
+        while (s1 < len && buf[s1] != '\n') ++s1;
+        if (s1 >= len) break;
+        int64_t slen = s1 - s0;
+        if (slen > 0 && buf[s1 - 1] == '\r') --slen;
+        // line 3: +
+        int64_t q0 = s1 + 1;
+        if (q0 >= len) break;
+        if (buf[q0] != '+') return -1;
+        int64_t q1 = q0;
+        while (q1 < len && buf[q1] != '\n') ++q1;
+        if (q1 >= len) break;
+        // line 4: quality
+        int64_t u0 = q1 + 1, u1 = u0;
+        while (u1 < len && buf[u1] != '\n') ++u1;
+        if (u1 >= len && u1 - u0 < slen) break;  // incomplete
+        int64_t qlen = u1 - u0;
+        if (qlen > 0 && u1 > u0 && buf[u1 - 1] == '\r') --qlen;
+
+        if (namew + (tok - h0) > names_cap) break;  // caller re-calls bigger
+        // commit record
+        std::memcpy(names + namew, buf + h0, size_t(tok - h0));
+        namew += tok - h0;
+        name_off[nrec + 1] = namew;
+        const int32_t L = int32_t(slen < max_len ? slen : max_len);
+        lengths[nrec] = L;
+        int8_t* crow = codes + nrec * int64_t(max_len);
+        char* qrow = quals + nrec * int64_t(max_len);
+        for (int32_t i = 0; i < L; ++i) {
+            crow[i] = lut[uint8_t(buf[s0 + i])];
+            qrow[i] = (i < qlen) ? buf[u0 + i] : 'I';
+        }
+        ++nrec;
+        pos = (u1 < len) ? u1 + 1 : len;
+        *consumed = pos;
+    }
+    return nrec;
+}
+
+// library version tag for the ctypes wrapper's compatibility check
+int32_t ps_abi_version(void) { return 1; }
+
+}  // extern "C"

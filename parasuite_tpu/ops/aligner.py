@@ -371,18 +371,33 @@ def candidate_table(oriented, lengths, min_scores, cand_diag, cand_valid,
 # full pipeline
 # ---------------------------------------------------------------------------
 
+def resolve_extend_fn(cfg: AlignConfig):
+    """cfg.extend_impl -> extension implementation (trace-time choice)."""
+    impl = cfg.extend_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas":
+        from parasuite_tpu.ops.pallas_extend import extend_candidates_pallas
+
+        return extend_candidates_pallas
+    return extend_candidates
+
+
 def align_batch(didx: DeviceIndex, sprof: ScoreParams, codes: jnp.ndarray,
                 lengths: jnp.ndarray, min_scores: jnp.ndarray,
                 cfg: AlignConfig, extend_fn=None) -> AlignResult:
     """End-to-end batch alignment (jit this with cfg static).
 
     extend_fn lets the Pallas kernel replace the jnp extension stage behind
-    the same contract (ops/pallas_extend.py).
+    the same contract (ops/pallas_extend.py); default resolves from
+    cfg.extend_impl.
     """
+    if extend_fn is None:
+        extend_fn = resolve_extend_fn(cfg)
     oriented = orient_reads(codes, lengths)
     diags = seed_diagonals(oriented, lengths, didx, cfg)
     cand_diag, cand_valid = select_candidates(diags, cfg)
-    ext = extend_fn if extend_fn is not None else extend_candidates
+    ext = extend_fn if extend_fn is not None else resolve_extend_fn(cfg)
     dp_score, dp_j, ug_score, ug_j = ext(oriented, lengths, cand_diag,
                                          didx, sprof, cfg)
     return finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
@@ -397,7 +412,7 @@ def align_batch_with_candidates(didx: DeviceIndex, sprof: ScoreParams,
     oriented = orient_reads(codes, lengths)
     diags = seed_diagonals(oriented, lengths, didx, cfg)
     cand_diag, cand_valid = select_candidates(diags, cfg)
-    ext = extend_fn if extend_fn is not None else extend_candidates
+    ext = extend_fn if extend_fn is not None else resolve_extend_fn(cfg)
     dp_score, dp_j, ug_score, ug_j = ext(oriented, lengths, cand_diag,
                                          didx, sprof, cfg)
     res = finalize(oriented, lengths, min_scores, cand_diag, cand_valid,

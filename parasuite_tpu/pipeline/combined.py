@@ -236,16 +236,40 @@ class CombinedEngine:
         self._n_genome = n_genome
         self.sam_ref = self.genome_ref  # SAM/clusters in genome coordinates
 
+    def align_device(self, codes, lengths):
+        """Device step -> (AlignResult in combined space, CandidateTable)."""
+        from parasuite_tpu.ops.device_index import min_scores_host
+
+        return self._align(self.didx, self.sprof, codes, lengths,
+                           min_scores_host(lengths, self.cfg))
+
+    def profile_counts_device(self, codes, lengths, devout):
+        """Profile counts off the combined-space result (transcript bases
+        equal their genomic twins, so machine-frame counting is identical)."""
+        import functools
+
+        import jax
+
+        from parasuite_tpu.ops.profile_update import profile_counts_batch
+
+        if not hasattr(self, "_counts_fn"):
+            self._counts_fn = jax.jit(functools.partial(profile_counts_batch,
+                                                        cfg=self.cfg))
+        res = devout[0]
+        return self._counts_fn(self.didx, codes, lengths, res.mapped,
+                               res.strand, res.pos, res.ug_equal)
+
     def align_to_host(self, batch):
+        return self.to_host(batch, self.align_device(batch.codes,
+                                                     batch.lengths))
+
+    def to_host(self, batch, devout):
         """-> HostAlignments in GENOME packed coordinates, CIGARs may contain
         N ops for junction-spanning transcript hits."""
-        from parasuite_tpu.ops.device_index import min_scores_host
         from parasuite_tpu.pipeline.align import HostAlignments, host_traceback
 
         cfg = self.cfg
-        _res, table = self._align(self.didx, self.sprof, batch.codes,
-                                  batch.lengths,
-                                  min_scores_host(batch.lengths, cfg))
+        _res, table = devout
         valid = np.asarray(table.valid)
         strand = np.asarray(table.strand)
         pos = np.asarray(table.pos)

@@ -1,0 +1,136 @@
+"""Streaming alignment with batch-granular checkpoint/resume.
+
+SURVEY.md §5 failure detection / checkpoint-resume: the reference's only
+recovery is "every stage output is a file, rerun the stage by hand". Here the
+50M-read configs record per-shard progress — the last committed batch index,
+running SAM record count, and (for pass 1) the partial profile count matrix —
+so a host failure reruns only unfinished batches. No elastic resharding: this
+is a bounded batch job (SURVEY.md §5), restartability is per (shard, batch).
+
+Layout next to the output SAM shard:
+    <out>.progress.json   {batches_done, records, cfg_hash, complete}
+    <out>.counts.npy      partial int64 [L, 4, 4] (profile passes only)
+
+Determinism note: a resumed run produces byte-identical output to an
+uninterrupted one because batch boundaries are fixed by (batch_size,
+shard layout), never by timing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from parasuite_tpu.config import AlignConfig
+from parasuite_tpu.io.fastq import iter_fastq_batches
+from parasuite_tpu.io.sam import sam_header
+from parasuite_tpu.utils.runlog import NULL_LOG
+
+
+def _cfg_hash(cfg: AlignConfig) -> str:
+    return hashlib.sha256(cfg.to_json().encode()).hexdigest()[:16]
+
+
+class StreamCheckpoint:
+    def __init__(self, out_sam, cfg: AlignConfig):
+        self.out_sam = Path(out_sam)
+        self.manifest = Path(str(out_sam) + ".progress.json")
+        self.counts_path = Path(str(out_sam) + ".counts.npy")
+        self.cfg_hash = _cfg_hash(cfg)
+
+    def load(self) -> dict | None:
+        if not self.manifest.exists():
+            return None
+        state = json.loads(self.manifest.read_text())
+        if state.get("cfg_hash") != self.cfg_hash:
+            return None  # config changed: restart from scratch
+        return state
+
+    def save(self, batches_done: int, records: int, complete: bool = False,
+             counts: np.ndarray | None = None, profiled: int = 0) -> None:
+        if counts is not None:
+            tmp = str(self.counts_path) + ".tmp.npy"  # np.save appends .npy
+            np.save(tmp, counts)
+            os.replace(tmp, self.counts_path)
+        tmp = str(self.manifest) + ".tmp"
+        Path(tmp).write_text(json.dumps({
+            "batches_done": batches_done, "records": records,
+            "profiled": profiled, "cfg_hash": self.cfg_hash,
+            "complete": complete}))
+        os.replace(tmp, self.manifest)
+
+    def load_counts(self, shape) -> np.ndarray:
+        if self.counts_path.exists():
+            return np.load(self.counts_path)
+        return np.zeros(shape, dtype=np.int64)
+
+
+def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
+                    with_profile_counts: bool = False, log=NULL_LOG,
+                    write_header: bool = True, command_line: str = "",
+                    stride_shards: int = 1, shard_index: int = 0,
+                    checkpoint_every: int = 1):
+    """Align a FASTQ stream to a SAM shard with resume support.
+
+    Returns (n_records, counts int64 [L,4,4] or None, n_profiled). Batch
+    boundaries are fixed by cfg.batch_size and the shard layout, so
+    restarting cannot change output bytes.
+    """
+    cfg = engine.cfg
+    ckpt = StreamCheckpoint(out_sam, cfg)
+    state = ckpt.load() if resume else None
+    start_batch = state["batches_done"] if state else 0
+    n_records = state["records"] if state else 0
+    n_profiled = state.get("profiled", 0) if state else 0
+    counts = (ckpt.load_counts((cfg.max_read_len, 4, 4))
+              if (with_profile_counts and state) else
+              np.zeros((cfg.max_read_len, 4, 4), dtype=np.int64))
+    if state and state.get("complete"):
+        log.event("align.skip", reason="already complete", records=n_records)
+        return n_records, (counts if with_profile_counts else None), n_profiled
+
+    mode = "a" if state else "w"
+    with open(out_sam, mode) as fh:
+        if not state and write_header:
+            fh.write(sam_header(engine.sam_ref, command_line=command_line))
+
+        class _FhWriter:
+            def write(self, line):
+                fh.write(line + "\n")
+
+        writer = _FhWriter()
+        batch_idx = 0
+        for batch in iter_fastq_batches(
+                fastq, cfg.batch_size, cfg.max_read_len,
+                stride_shards=stride_shards, shard_index=shard_index):
+            if batch_idx < start_batch:  # already committed before restart
+                batch_idx += 1
+                continue
+            res = engine.align_device(batch.codes, batch.lengths)
+            if with_profile_counts:
+                c = engine.profile_counts_device(batch.codes, batch.lengths,
+                                                 res)
+                counts += np.asarray(c, dtype=np.int64)
+                # res is AlignResult (plain engine) or (AlignResult, table)
+                r0 = res if hasattr(res, "mapped") else res[0]
+                n_profiled += int(np.asarray(
+                    r0.mapped & r0.ug_equal & (batch.lengths > 0)).sum())
+            host = engine.to_host(batch, res)
+            engine.emit_sam(batch, host, writer)
+            fh.flush()
+            n_records += batch.n_real
+            batch_idx += 1
+            if (batch_idx - start_batch) % checkpoint_every == 0:
+                ckpt.save(batch_idx, n_records, profiled=n_profiled,
+                          counts=counts if with_profile_counts else None)
+            log.event("align.batch", batch=batch_idx, reads=batch.n_real,
+                      mapped=int(host.mapped[:batch.n_real].sum()),
+                      records=n_records)
+    ckpt.save(batch_idx, n_records, complete=True, profiled=n_profiled,
+              counts=counts if with_profile_counts else None)
+    log.event("align.done", records=n_records, batches=batch_idx)
+    return n_records, (counts if with_profile_counts else None), n_profiled

@@ -1,0 +1,71 @@
+"""C++ fast-path parity: native outputs must be bit-identical to the numpy
+fallbacks (the contract that makes them interchangeable)."""
+
+import numpy as np
+import pytest
+
+from parasuite_tpu import native
+from parasuite_tpu.index.kmer import KmerIndex
+from parasuite_tpu.io.fastq import write_fastq
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def test_kmer_index_parity(tiny_ref, small_cfg):
+    k = small_cfg.kmer_size
+    idx_np = KmerIndex.build(tiny_ref.seq, k, use_native="never")
+    starts, positions = native.kmer_index_build(tiny_ref.seq, k)
+    np.testing.assert_array_equal(starts, idx_np.bucket_starts)
+    np.testing.assert_array_equal(positions, idx_np.positions)
+
+
+def test_kmer_index_parity_with_n_runs():
+    rng = np.random.default_rng(9)
+    seq = rng.integers(0, 4, 5000).astype(np.int8)
+    seq[100:130] = 4
+    seq[0:3] = 4
+    seq[-2:] = 4
+    for k in (4, 8, 11):
+        idx_np = KmerIndex.build(seq, k, use_native="never")
+        starts, positions = native.kmer_index_build(seq, k)
+        np.testing.assert_array_equal(starts, idx_np.bucket_starts)
+        np.testing.assert_array_equal(positions, idx_np.positions)
+
+
+def test_fastq_scan_parity(tmp_path):
+    rng = np.random.default_rng(10)
+    n, L = 23, 37
+    codes = rng.integers(0, 4, size=(n, L)).astype(np.int8)
+    codes[3, 5] = 4  # an N
+    lengths = np.full(n, L, dtype=np.int32)
+    names = [f"read_{i}/1" for i in range(n)]
+    quals = [bytes(rng.integers(33, 74, L).astype(np.uint8)) for _ in range(n)]
+    p = tmp_path / "r.fastq"
+    write_fastq(p, names, codes, lengths, quals)
+
+    buf = p.read_bytes()
+    got_n, consumed, gcodes, glens, gnames, gquals = native.fastq_scan_chunk(
+        buf, max_reads=64, max_len=50)
+    assert got_n == n
+    assert consumed == len(buf)
+    assert gnames == names
+    np.testing.assert_array_equal(glens[:n], lengths)
+    np.testing.assert_array_equal(gcodes[:n, :L], codes)
+    assert np.all(gcodes[:n, L:] == 4)
+    assert gquals == quals
+
+
+def test_fastq_scan_partial_chunk(tmp_path):
+    """A chunk ending mid-record must report only complete records."""
+    body = b"@r1\nACGT\n+\nIIII\n@r2\nGGGG\n+\nII"
+    got_n, consumed, codes, lens, names, quals = native.fastq_scan_chunk(
+        body, max_reads=8, max_len=10)
+    assert got_n == 1
+    assert names == ["r1"]
+    assert consumed == body.index(b"@r2")
+
+
+def test_fastq_scan_malformed():
+    with pytest.raises(ValueError):
+        native.fastq_scan_chunk(b"not a fastq\nxx\nyy\nzz\n", 4, 10)
