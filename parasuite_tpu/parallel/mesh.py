@@ -21,6 +21,21 @@ def local_device_count() -> int:
     return len(jax.devices())
 
 
+def make_mesh2(n_data: int, n_index: int, data_axis: str = "data",
+               index_axis: str = "index") -> Mesh:
+    """2-D mesh: read-batch parallelism x chromosome-sharded index
+    (parallel/shards.py). Lay index on the fastest-varying (intra-host ICI)
+    axis: the per-read cross-shard merge all_gathers tiny tuples every batch,
+    while the data axis only psums profile matrices at the end."""
+    devs = jax.devices()
+    need = n_data * n_index
+    if need > len(devs):
+        raise ValueError(f"mesh {n_data}x{n_index} needs {need} devices, "
+                         f"have {len(devs)}")
+    arr = np.asarray(devs[:need]).reshape(n_data, n_index)
+    return Mesh(arr, (data_axis, index_axis))
+
+
 def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over the first n devices (default: all).
 
