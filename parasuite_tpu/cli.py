@@ -168,6 +168,18 @@ def cmd_benchmark(args) -> int:
 
     cfg = _cfg_from_args(args)
     engine = _load_engine(args, cfg)
+    if args.scaling:
+        from parasuite_tpu.benchkit.scaling import measure_scaling
+
+        counts = [int(x) for x in args.scaling.split(",")]
+        n_total = max(counts) * args.n_reads
+        codes, lengths, _ = simulate_reads(engine.ref, n_total, args.read_len,
+                                           cfg, seed=cfg.seed,
+                                           tc_rate=args.tc_rate)
+        rep = measure_scaling(engine.didx, engine.sprof, codes, lengths, cfg,
+                              counts, per_device_reads=args.n_reads)
+        print(json.dumps({"tool": "benchmark", **rep}))
+        return 0
     codes, lengths, truth = simulate_reads(engine.ref, args.n_reads,
                                            args.read_len, cfg, seed=cfg.seed,
                                            tc_rate=args.tc_rate)
@@ -233,6 +245,42 @@ def cmd_cluster(args) -> int:
     return 0
 
 
+def cmd_dist_align(args) -> int:
+    """One host's shard of a multi-host run (SURVEY.md §2 component 12).
+
+    On a real pod: launch one process per host with --host-index
+    $(jax.process_index()). Locally: parallel.multihost.run_local_hosts
+    spawns these as subprocesses."""
+    from parasuite_tpu.parallel.multihost import run_host_shard
+    from parasuite_tpu.utils.runlog import RunLog
+
+    cfg = _cfg_from_args(args)
+    engine = _load_engine(args, cfg)
+    log = RunLog(args.log) if args.log else RunLog()
+    n, _counts, n_prof = run_host_shard(
+        engine, args.fastq, args.out_prefix, args.host_index, args.n_hosts,
+        resume=args.resume, log=log)
+    print(json.dumps({"tool": "dist-align", "host": args.host_index,
+                      "n_hosts": args.n_hosts, "records": n,
+                      "profiled": n_prof}))
+    return 0
+
+
+def cmd_merge_shards(args) -> int:
+    from parasuite_tpu.index import PackedReference
+    from parasuite_tpu.parallel.multihost import merge_host_outputs
+
+    cfg = _cfg_from_args(args)
+    ref = PackedReference.load(args.index_prefix)
+    n, profile = merge_host_outputs(
+        ref, args.out_prefix, args.out, args.n_hosts,
+        profile_out=args.profile_out,
+        command_line=" ".join(sys.argv[1:]))
+    print(json.dumps({"tool": "merge-shards", "records": n,
+                      "profiled": profile.n_reads if profile else 0}))
+    return 0
+
+
 def cmd_combine(args) -> int:
     from parasuite_tpu.pipeline.combined import build_combined_index
 
@@ -288,6 +336,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("benchmark", help="simulate+align, report accuracy & speed")
     p.add_argument("index_prefix")
+    p.add_argument("--scaling", help="comma-separated device counts for a "
+                   "weak-scaling efficiency report (config 5)")
     p.add_argument("--n-reads", dest="n_reads", type=int, default=10000)
     p.add_argument("--read-len", dest="read_len", type=int, default=50)
     p.add_argument("--tc-rate", dest="tc_rate", type=float, default=None)
@@ -301,6 +351,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cluster-min-reads", dest="cluster_min_reads", type=int)
     _add_cfg_flags(p)
     p.set_defaults(fn=cmd_cluster)
+
+    p = sub.add_parser("dist-align", help="align one host's shard "
+                       "(multi-host round-robin batches)")
+    p.add_argument("index_prefix")
+    p.add_argument("fastq")
+    p.add_argument("out_prefix")
+    p.add_argument("--host-index", dest="host_index", type=int, required=True)
+    p.add_argument("--n-hosts", dest="n_hosts", type=int, required=True)
+    p.add_argument("--profile", help=".errorprofile for profile-aware scoring")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log")
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_dist_align)
+
+    p = sub.add_parser("merge-shards", help="merge per-host SAM shards + "
+                       "profile counts deterministically")
+    p.add_argument("index_prefix")
+    p.add_argument("out_prefix")
+    p.add_argument("out")
+    p.add_argument("--n-hosts", dest="n_hosts", type=int, required=True)
+    p.add_argument("--profile-out", dest="profile_out")
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_merge_shards)
 
     p = sub.add_parser("combine", help="build combined genome+transcriptome index")
     p.add_argument("fasta")

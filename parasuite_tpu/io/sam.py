@@ -50,7 +50,7 @@ def format_record(name: str, read_codes: np.ndarray, read_len: int,
                   qual: bytes, ref: PackedReference, *,
                   mapped: bool, strand: int = 0, packed_pos: int = -1,
                   mapq: int = 0, cigar=None, score: int = 0, nm: int = 0,
-                  x0: int = 0, x1: int = 0) -> str:
+                  x0: int = 0, x1: int = 0, with_md: bool = True) -> str:
     """One SAM line (no trailing newline).
 
     read_codes/qual are in machine (sequencing) orientation; this function
@@ -77,8 +77,51 @@ def format_record(name: str, read_codes: np.ndarray, read_len: int,
     xt = "U" if x0 == 1 else "R"
     tags = [f"XT:A:{xt}", f"NM:i:{nm}", f"X0:i:{x0}", f"X1:i:{x1}",
             f"AS:i:{score}"]
+    if with_md:
+        aligned = revcomp_codes(codes) if strand == 1 else np.asarray(codes)
+        tags.append("MD:Z:" + md_tag(ref.seq, packed_pos, cigar, aligned))
     return "\t".join([name, str(flag), rname, str(pos_1), str(mapq),
                       cigar_string(cigar), "*", "0", "0", seq, q] + tags)
+
+
+def md_tag(ref_seq: np.ndarray, packed_pos: int, cigar: list[tuple[str, int]],
+           aligned_read: np.ndarray) -> str:
+    """MD:Z value (samtools convention: match run-lengths, mismatch ref
+    bases, ^-prefixed deleted ref bases; I consumes no MD, N skips silently).
+
+    aligned_read: ref-strand-oriented codes (revcomp'd for reverse hits),
+    as aligned — upstream bwase.c emits the same tag for backtrack output.
+    """
+    from parasuite_tpu.utils.dna import CODE_TO_BASE
+
+    out: list[str] = []
+    run = 0
+    ri, qi = packed_pos, 0
+    for op, ln in cigar:
+        if op == "M":
+            for k in range(ln):
+                rb = int(ref_seq[ri + k])
+                cb = int(aligned_read[qi + k])
+                if rb == cb and rb < 4:
+                    run += 1
+                else:
+                    out.append(str(run))
+                    out.append(chr(CODE_TO_BASE[min(rb, 4)]))
+                    run = 0
+            ri += ln
+            qi += ln
+        elif op == "I":
+            qi += ln
+        elif op == "D":
+            out.append(str(run))
+            run = 0
+            out.append("^" + "".join(chr(CODE_TO_BASE[min(int(b), 4)])
+                                     for b in ref_seq[ri : ri + ln]))
+            ri += ln
+        elif op == "N":
+            ri += ln
+    out.append(str(run))
+    return "".join(out)
 
 
 def parse_cigar(cig: str) -> list[tuple[str, int]]:
@@ -141,6 +184,11 @@ class SamWriter:
     def write(self, line: str) -> None:
         self._fh.write(line + "\n")
         self.n_records += 1
+
+    def write_block(self, text: str) -> None:
+        """Pre-formatted newline-terminated records (native fast path)."""
+        self._fh.write(text)
+        self.n_records += text.count("\n")
 
     def close(self) -> None:
         self._fh.close()

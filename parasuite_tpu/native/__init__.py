@@ -105,3 +105,55 @@ def fastq_scan_chunk(buf: bytes, max_reads: int, max_len: int):
         names.append(raw[int(name_off[i]):int(name_off[i + 1])].decode("ascii"))
     qlist = [quals[i, : lengths[i]].tobytes() for i in range(n)]
     return int(n), int(consumed.value), codes, lengths, names, qlist
+
+
+def sam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
+                     lengths: np.ndarray, names: list, quals: np.ndarray,
+                     rnames: list, flag: np.ndarray, rname_idx: np.ndarray,
+                     pos1: np.ndarray, packed_pos: np.ndarray,
+                     mapq: np.ndarray, nm: np.ndarray, x0: np.ndarray,
+                     x1: np.ndarray, score: np.ndarray) -> str:
+    """Format a run of ungapped/unmapped records (bytes identical to
+    io.sam.format_record, including the MD tag). Raises if the native
+    library is unavailable — callers fall back to the Python formatter."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if not hasattr(lib.ps_sam_format_batch, "_configured"):
+        lib.ps_sam_format_batch.restype = ctypes.c_int64
+        lib.ps_sam_format_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_int64, ctypes.c_int32] \
+            + [ctypes.c_void_p] * 17 + [ctypes.c_int64]
+        lib.ps_sam_format_batch._configured = True
+    n = len(names)
+    max_len = codes.shape[1]
+    names_b = "".join(names).encode("ascii")
+    name_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in names], out=name_off[1:])
+    rnames_b = "".join(rnames).encode("ascii")
+    rname_off = np.zeros(len(rnames) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in rnames], out=rname_off[1:])
+
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    quals = np.ascontiguousarray(quals, dtype=np.uint8)
+    a32 = lambda x: np.ascontiguousarray(x, dtype=np.int32)
+    a64 = lambda x: np.ascontiguousarray(x, dtype=np.int64)
+    lengths, flag, rname_idx, pos1 = map(a32, (lengths, flag, rname_idx, pos1))
+    mapq, nm, x0, x1, score = map(a32, (mapq, nm, x0, x1, score))
+    packed_pos = a64(packed_pos)
+    ref_seq = np.ascontiguousarray(ref_seq, dtype=np.int8)
+
+    cap = int(n * (max_len * 2 + name_off[-1] // max(n, 1) + 160) + 4096)
+    out = ctypes.create_string_buffer(cap)
+    w = lib.ps_sam_format_batch(
+        ref_seq.ctypes.data, ref_seq.shape[0], n, max_len,
+        codes.ctypes.data, lengths.ctypes.data,
+        names_b, name_off.ctypes.data, quals.ctypes.data,
+        rnames_b, rname_off.ctypes.data,
+        flag.ctypes.data, rname_idx.ctypes.data, pos1.ctypes.data,
+        packed_pos.ctypes.data, mapq.ctypes.data, nm.ctypes.data,
+        x0.ctypes.data, x1.ctypes.data, score.ctypes.data,
+        out, cap)
+    if w < 0:
+        raise RuntimeError("ps_sam_format_batch failed (buffer/input)")
+    return out.raw[:w].decode("ascii")

@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <vector>
 
 extern "C" {
@@ -155,5 +156,142 @@ int64_t ps_fastq_scan(const char* buf, int64_t len, int64_t max_reads,
 
 // library version tag for the ctypes wrapper's compatibility check
 int32_t ps_abi_version(void) { return 1; }
+
+}  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Batch SAM record formatter for the dominant record shapes (ungapped "LM"
+// mapped records and unmapped records) — the host-side Python formatter
+// handles the rare gapped/junction CIGARs. Emits the same bytes as
+// io/sam.py::format_record (parity enforced by tests/test_native.py).
+//
+// ref:        int8 packed reference codes (for NM-checked MD tag)
+// codes:      int8 [n, max_len] machine-frame read codes
+// names/name_off: concatenated qnames
+// rnames/rname_off: chromosome name table
+// For record i: flag[i] in {0,4,16}; rname_idx[i]; pos1[i] 1-based local;
+// packed_pos[i] packed coordinate of the alignment start (for MD);
+// if flag==4 only name/codes/qual are used.
+// Returns bytes written into out (cap bytes) or -1 if out too small.
+// ---------------------------------------------------------------------------
+int64_t ps_sam_format_batch(
+    const int8_t* ref, int64_t ref_len,
+    int64_t n, int32_t max_len,
+    const int8_t* codes, const int32_t* lengths,
+    const char* names, const int64_t* name_off,
+    const char* quals,  // [n * max_len], machine orientation
+    const char* rnames, const int64_t* rname_off,
+    const int32_t* flag, const int32_t* rname_idx, const int32_t* pos1,
+    const int64_t* packed_pos, const int32_t* mapq, const int32_t* nm,
+    const int32_t* x0, const int32_t* x1, const int32_t* score,
+    char* out, int64_t cap) {
+    static const char BASE[5] = {'A', 'C', 'G', 'T', 'N'};
+    static const char COMP[5] = {'T', 'G', 'C', 'A', 'N'};
+    int64_t w = 0;
+    char tmp[32];
+
+    auto put = [&](const char* s, int64_t ln) -> bool {
+        if (w + ln > cap) return false;
+        std::memcpy(out + w, s, size_t(ln));
+        w += ln;
+        return true;
+    };
+    auto put_int = [&](int64_t v) -> bool {
+        int ln = snprintf(tmp, sizeof tmp, "%lld", (long long)v);
+        return put(tmp, ln);
+    };
+    auto put_c = [&](char c) -> bool {
+        if (w + 1 > cap) return false;
+        out[w++] = c;
+        return true;
+    };
+
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t L = lengths[i];
+        const int8_t* crow = codes + i * int64_t(max_len);
+        const char* qrow = quals + i * int64_t(max_len);
+        const bool rev = (flag[i] & 0x10) != 0;
+        const bool unmapped = (flag[i] & 0x4) != 0;
+        // QNAME FLAG
+        if (!put(names + name_off[i], name_off[i + 1] - name_off[i]))
+            return -1;
+        put_c('\t'); put_int(flag[i]); put_c('\t');
+        if (unmapped) {
+            if (!put("*\t0\t0\t*\t*\t0\t0\t", 14)) return -1;
+        } else {
+            const char* rn = rnames + rname_off[rname_idx[i]];
+            int64_t rl = rname_off[rname_idx[i] + 1] - rname_off[rname_idx[i]];
+            if (!put(rn, rl)) return -1;
+            put_c('\t'); put_int(pos1[i]); put_c('\t'); put_int(mapq[i]);
+            put_c('\t'); put_int(L);
+            if (!put("M\t*\t0\t0\t", 8)) return -1;
+        }
+        // SEQ
+        if (w + L + 1 > cap) return -1;
+        if (!unmapped && rev) {
+            for (int32_t k = 0; k < L; ++k)
+                out[w + k] = COMP[crow[L - 1 - k] < 4 ? crow[L - 1 - k] : 4];
+        } else {
+            for (int32_t k = 0; k < L; ++k)
+                out[w + k] = BASE[crow[k] < 4 ? crow[k] : 4];
+        }
+        w += L;
+        put_c('\t');
+        // QUAL
+        if (w + L > cap) return -1;
+        if (!unmapped && rev) {
+            for (int32_t k = 0; k < L; ++k) out[w + k] = qrow[L - 1 - k];
+        } else {
+            std::memcpy(out + w, qrow, size_t(L));
+        }
+        w += L;
+        if (unmapped) {
+            if (!put_c('\n')) return -1;
+            continue;
+        }
+        // tags: XT NM X0 X1 AS MD
+        if (!put(x0[i] == 1 ? "\tXT:A:U\tNM:i:" : "\tXT:A:R\tNM:i:", 13))
+            return -1;
+        put_int(nm[i]);
+        if (!put("\tX0:i:", 6)) return -1;
+        put_int(x0[i]);
+        if (!put("\tX1:i:", 6)) return -1;
+        put_int(x1[i]);
+        if (!put("\tAS:i:", 6)) return -1;
+        put_int(score[i]);
+        if (!put("\tMD:Z:", 6)) return -1;
+        // MD over a single L-length M run at packed_pos; aligned read =
+        // (revcomp'd if rev) machine read
+        {
+            int64_t p = packed_pos[i];
+            if (p < 0 || p + L > ref_len) return -1;
+            int run = 0;
+            for (int32_t k = 0; k < L; ++k) {
+                int rb = ref[p + k];
+                if (rb < 0 || rb > 4) rb = 4;
+                int cb;
+                if (rev) {
+                    int8_t m = crow[L - 1 - k];
+                    cb = (m >= 0 && m < 4) ? 3 - m : 4;
+                } else {
+                    int8_t m = crow[k];
+                    cb = (m >= 0 && m < 4) ? m : 4;
+                }
+                if (rb == cb && rb < 4) {
+                    ++run;
+                } else {
+                    put_int(run);
+                    if (!put_c(BASE[rb])) return -1;
+                    run = 0;
+                }
+            }
+            put_int(run);
+        }
+        if (!put_c('\n')) return -1;
+    }
+    return w;
+}
 
 }  // extern "C"

@@ -69,13 +69,15 @@ def orient_reads(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     Revcomp rows are N-padded past each read's true length, mirroring how
     ReadBatch pads forward rows.
     """
-    comp = jnp.asarray(_COMP)
     c32 = codes.astype(jnp.int32)
     L = codes.shape[1]
     i = jnp.arange(L)
     rev_idx = jnp.clip(lengths[:, None] - 1 - i[None, :], 0, L - 1)
     gathered = jnp.take_along_axis(c32, rev_idx, axis=1)
-    rc = jnp.where(i[None, :] < lengths[:, None], comp[gathered], 4)
+    # complement arithmetically (3 - c for ACGT, N fixed) — a 5-entry table
+    # lookup here lowers to a second gather, which is slow on TPU
+    comp = jnp.where(gathered < 4, 3 - gathered, 4)
+    rc = jnp.where(i[None, :] < lengths[:, None], comp, 4)
     return jnp.stack([c32, rc], axis=1)
 
 
@@ -122,13 +124,20 @@ def select_candidates(diags: jnp.ndarray, cfg: AlignConfig):
     Returns (cand_diag [B2, C] int32, cand_valid [B2, C] bool)."""
     n = diags.shape[1]
     d = jnp.sort(diags, axis=1)
-    left = jax.vmap(lambda a: jnp.searchsorted(a, a, side="left"))(d)
-    right = jax.vmap(lambda a: jnp.searchsorted(a, a, side="right"))(d)
-    votes = (right - left).astype(jnp.int32)
-    t = jnp.arange(n)
-    first = (t[None, :] == left) & (d != I32MAX)
-    negv = jnp.where(first, -votes, 1)
-    dd = jnp.where(first, d, I32MAX)
+    t = jnp.arange(n, dtype=jnp.int32)
+    # run-starts + run lengths via prefix/suffix scans (a vmapped
+    # searchsorted here costs ~100ms/batch on TPU; cummin is ~free)
+    first = jnp.concatenate(
+        [jnp.ones((d.shape[0], 1), dtype=bool), d[:, 1:] != d[:, :-1]],
+        axis=1)
+    fidx = jnp.where(first, t[None, :], n)
+    next_first = jnp.concatenate(
+        [jnp.flip(jax.lax.cummin(jnp.flip(fidx[:, 1:], 1), axis=1), 1),
+         jnp.full((d.shape[0], 1), n, dtype=jnp.int32)], axis=1)
+    votes = next_first - t[None, :]          # run length, valid at run starts
+    firstv = first & (d != I32MAX)
+    negv = jnp.where(firstv, -votes, 1)
+    dd = jnp.where(firstv, d, I32MAX)
     negv_s, dd_s = jax.lax.sort((negv, dd), dimension=1, num_keys=2)
     C = cfg.max_candidates
     return dd_s[:, :C], (negv_s[:, :C] < 1)

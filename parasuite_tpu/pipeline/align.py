@@ -172,11 +172,62 @@ class AlignerEngine:
         return self.to_host(batch, self.align_device(batch.codes, batch.lengths))
 
     def emit_sam(self, batch: ReadBatch, host: HostAlignments, writer) -> None:
-        for b in range(batch.n_real):
-            writer.write(format_record(
-                batch.names[b], batch.codes[b], int(batch.lengths[b]),
-                batch.quals[b], self.ref,
-                mapped=bool(host.mapped[b]), strand=int(host.strand[b]),
-                packed_pos=int(host.pos[b]), mapq=int(host.mapq[b]),
-                cigar=host.cigars[b], score=int(host.score[b]),
-                nm=int(host.nm[b]), x0=int(host.x0[b]), x1=int(host.x1[b])))
+        """Emit records in read order.
+
+        Ungapped/unmapped runs go through the native C++ batch formatter
+        when available (bytes identical to format_record — tests
+        test_native.py); the rare gapped records use the Python path.
+        """
+        from parasuite_tpu import native
+
+        n = batch.n_real
+        use_native = (native.available()
+                      and hasattr(writer, "write_block"))
+        if not use_native:
+            for b in range(n):
+                writer.write(self._format_one(batch, host, b))
+            return
+
+        elig = host.ug_equal[:n] | ~host.mapped[:n]
+        b = 0
+        while b < n:
+            if not elig[b]:
+                writer.write(self._format_one(batch, host, b))
+                b += 1
+                continue
+            e = b
+            while e < n and elig[e]:
+                e += 1
+            writer.write_block(self._format_native_run(batch, host, b, e))
+            b = e
+
+    def _format_one(self, batch, host, b) -> str:
+        return format_record(
+            batch.names[b], batch.codes[b], int(batch.lengths[b]),
+            batch.quals[b], self.sam_ref,
+            mapped=bool(host.mapped[b]), strand=int(host.strand[b]),
+            packed_pos=int(host.pos[b]), mapq=int(host.mapq[b]),
+            cigar=host.cigars[b], score=int(host.score[b]),
+            nm=int(host.nm[b]), x0=int(host.x0[b]), x1=int(host.x1[b]))
+
+    def _format_native_run(self, batch, host, b, e) -> str:
+        from parasuite_tpu import native
+
+        sl = slice(b, e)
+        n = e - b
+        L = batch.max_len
+        quals = np.full((n, L), ord("I"), dtype=np.uint8)
+        for k in range(n):
+            q = batch.quals[b + k]
+            quals[k, : len(q)] = np.frombuffer(q, dtype=np.uint8)[:L]
+        mapped = host.mapped[sl]
+        strand = host.strand[sl]
+        flag = np.where(mapped, np.where(strand == 1, 16, 0), 4)
+        pos = host.pos[sl].astype(np.int64)
+        ci, local = self.sam_ref.locate(np.where(mapped, pos, 0))
+        return native.sam_format_batch(
+            self.sam_ref.seq, batch.codes[sl], batch.lengths[sl],
+            batch.names[b:e], quals, self.sam_ref.names,
+            flag, np.maximum(ci, 0), (local + 1).astype(np.int32),
+            pos, host.mapq[sl], host.nm[sl], host.x0[sl], host.x1[sl],
+            host.score[sl])

@@ -66,6 +66,51 @@ def parse_annotation(path) -> list[Transcript]:
     return out
 
 
+def parse_gtf(path) -> list[Transcript]:
+    """Minimal GTF/GFF2 exon parser -> Transcripts (the reference consumes
+    annotation the same way for its combiner; SURVEY.md §2 component 7).
+
+    Uses 'exon' features grouped by transcript_id; start is converted from
+    GTF's 1-based inclusive to 0-based half-open.
+    """
+    import re
+
+    tx_id_re = re.compile(r'transcript_id\s+"([^"]+)"')
+    acc: dict[str, dict] = {}
+    for line in Path(path).read_text().splitlines():
+        if not line or line.startswith("#"):
+            continue
+        f = line.split("\t")
+        if len(f) < 9 or f[2] != "exon":
+            continue
+        m = tx_id_re.search(f[8])
+        if not m:
+            raise ValueError(f"exon without transcript_id: {line[:80]}")
+        tid = m.group(1)
+        rec = acc.setdefault(tid, {"chrom": f[0], "strand": f[6],
+                                   "starts": [], "ends": []})
+        if rec["chrom"] != f[0] or rec["strand"] != f[6]:
+            raise ValueError(f"transcript {tid} spans chroms/strands")
+        rec["starts"].append(int(f[3]) - 1)
+        rec["ends"].append(int(f[4]))
+    out = []
+    for tid, rec in acc.items():
+        order = np.argsort(rec["starts"])
+        out.append(Transcript(
+            tid, rec["chrom"], rec["strand"],
+            np.asarray(rec["starts"], dtype=np.int64)[order],
+            np.asarray(rec["ends"], dtype=np.int64)[order]))
+    return out
+
+
+def load_annotation(path) -> list[Transcript]:
+    """Dispatch on extension: .gtf/.gff -> GTF parser, else exon-table TSV."""
+    suffix = Path(path).suffix.lower()
+    if suffix in (".gtf", ".gff"):
+        return parse_gtf(path)
+    return parse_annotation(path)
+
+
 def splice_transcript(genome: dict[str, np.ndarray], tx: Transcript) -> np.ndarray:
     chrom = genome[tx.chrom]
     parts = [chrom[int(s):int(e)] for s, e in zip(tx.exon_starts, tx.exon_ends)]
@@ -433,7 +478,7 @@ def build_combined_index(fasta, annotation, out_prefix, cfg: AlignConfig) -> dic
     from parasuite_tpu.io.fasta import read_fasta
 
     genome = read_fasta(fasta)
-    txs = parse_annotation(annotation)
+    txs = load_annotation(annotation)
     comb = CombinedReference.build(genome, txs, spacer=cfg.chrom_spacer)
     idx = KmerIndex.build(comb.ref.seq, cfg.kmer_size)
     comb.save(out_prefix)

@@ -102,6 +102,9 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
             def write(self, line):
                 fh.write(line + "\n")
 
+            def write_block(self, text):
+                fh.write(text)
+
         writer = _FhWriter()
         batch_idx = 0
         for batch in iter_fastq_batches(

@@ -190,3 +190,45 @@ def test_combined_roundtrip_save_load(genome, tx_plus, tx_minus, small_cfg,
     assert back.genome_names == ["chrA"]
     assert set(back.transcripts) == {"tx1", "tx2"}
     np.testing.assert_array_equal(back.ref.seq, comb.ref.seq)
+
+
+def test_parse_gtf(tmp_path, tx_plus):
+    from parasuite_tpu.pipeline.combined import parse_gtf, load_annotation
+
+    gtf = tmp_path / "ann.gtf"
+    gtf.write_text(
+        '#comment\n'
+        'chrA\tsrc\ttranscript\t1001\t3100\t.\t+\t.\ttranscript_id "tx1";\n'
+        'chrA\tsrc\texon\t2001\t2200\t.\t+\t.\ttranscript_id "tx1"; exon_number "2";\n'
+        'chrA\tsrc\texon\t1001\t1200\t.\t+\t.\ttranscript_id "tx1"; exon_number "1";\n'
+        'chrA\tsrc\texon\t3001\t3100\t.\t+\t.\ttranscript_id "tx1"; exon_number "3";\n'
+        'chrA\tsrc\texon\t4001\t4150\t.\t-\t.\ttranscript_id "tx2";\n'
+        'chrA\tsrc\texon\t4501\t4650\t.\t-\t.\ttranscript_id "tx2";\n')
+    txs = parse_gtf(gtf)
+    by_id = {t.tx_id: t for t in txs}
+    np.testing.assert_array_equal(by_id["tx1"].exon_starts, tx_plus.exon_starts)
+    np.testing.assert_array_equal(by_id["tx1"].exon_ends, tx_plus.exon_ends)
+    assert by_id["tx2"].strand == "-"
+    # extension dispatch
+    assert len(load_annotation(gtf)) == 2
+
+
+def test_md_tag():
+    from parasuite_tpu.io.sam import md_tag
+    from parasuite_tpu.utils.dna import encode_seq
+
+    ref = encode_seq("AACGTACGTTAAGGCC")
+    # perfect 8M at pos 2
+    assert md_tag(ref, 2, [("M", 8)], ref[2:10].copy()) == "8"
+    # mismatch at offset 2 (ref T) of an 8M
+    read = ref[2:10].copy(); read[2] = 0
+    assert md_tag(ref, 2, [("M", 8)], read) == "2T5"
+    # deletion of 2 ref bases after 3M, then 3M
+    read = np.concatenate([ref[2:5], ref[7:10]])
+    assert md_tag(ref, 2, [("M", 3), ("D", 2), ("M", 3)], read) == "3^AC3"
+    # insertion consumes no MD
+    read = np.concatenate([ref[2:5], encode_seq("GG"), ref[5:8]])
+    assert md_tag(ref, 2, [("M", 3), ("I", 2), ("M", 3)], read) == "6"
+    # N (intron) skipped silently: 3M 4N 3M over matching segments
+    read = np.concatenate([ref[2:5], ref[9:12]])
+    assert md_tag(ref, 2, [("M", 3), ("N", 4), ("M", 3)], read) == "6"

@@ -69,3 +69,39 @@ def test_fastq_scan_partial_chunk(tmp_path):
 def test_fastq_scan_malformed():
     with pytest.raises(ValueError):
         native.fastq_scan_chunk(b"not a fastq\nxx\nyy\nzz\n", 4, 10)
+
+
+def test_sam_formatter_parity(tiny_ref, tiny_index, small_cfg):
+    """Native batch SAM formatting must be byte-identical to the Python
+    formatter across mapped fwd/rev, mismatches, and unmapped records."""
+    from parasuite_tpu.io.batch import ReadBatch
+    from parasuite_tpu.pipeline import AlignerEngine
+    from conftest import sample_reads
+
+    rng = np.random.default_rng(700)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 40, 50, mutate=2)
+    codes[35:] = rng.integers(0, 4, size=(5, 50)).astype(np.int8)  # unmapped
+    names = [f"q{i}" for i in range(40)]
+    quals = [bytes(rng.integers(35, 74, 50).astype(np.uint8)) for _ in range(40)]
+    batch = ReadBatch(codes=codes, lengths=lengths, names=names, quals=quals)
+    engine = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    host = engine.align_to_host(batch)
+
+    class Collect:
+        def __init__(self, with_block):
+            self.text = []
+            if with_block:
+                self.write_block = lambda t: self.text.append(t)
+
+        def write(self, line):
+            self.text.append(line + "\n")
+
+        def result(self):
+            return "".join(self.text)
+
+    py_w = Collect(with_block=False)   # forces Python formatter
+    nat_w = Collect(with_block=True)   # native fast path
+    engine.emit_sam(batch, host, py_w)
+    engine.emit_sam(batch, host, nat_w)
+    assert nat_w.result() == py_w.result()
+    assert py_w.result().count("\n") == 40

@@ -1,10 +1,10 @@
 """Pallas extension kernel vs jnp extension stage — bit-equal contract
 (SURVEY.md §4.1).
 
-The full-size parity suite runs compiled on a real TPU (PARASUITE_TEST_TPU=1
-or a tpu backend; see also tools/tpu_parity.py which the bench flow uses).
-On CPU only a miniature interpret-mode smoke test runs: interpret-lowering of
-the unrolled kernel is minutes-slow to compile at production sizes.
+The full-size parity suite runs compiled on a real TPU
+(PARASUITE_TEST_TPU=1 pytest tests/test_pallas.py). On CPU only a miniature
+interpret-mode smoke test runs: interpret-lowering of the unrolled kernel is
+minutes-slow to compile at production sizes.
 """
 
 import functools
@@ -34,13 +34,13 @@ def _stage_inputs(didx, cfg, codes, lengths):
     return oriented, cand_diag
 
 
-def _assert_extend_parity(didx, sprof, cfg, codes, lengths, tile_p=128,
+def _assert_extend_parity(didx, sprof, cfg, codes, lengths,
                           interpret=False):
     oriented, cand_diag = _stage_inputs(didx, cfg, codes, lengths)
     ref_out = jax.jit(functools.partial(extend_candidates, cfg=cfg))(
         oriented, lengths, cand_diag, didx, sprof)
     pal_fn = jax.jit(functools.partial(extend_candidates_pallas, cfg=cfg,
-                                      tile_p=tile_p, interpret=interpret))
+                                      interpret=interpret))
     pal_out = pal_fn(oriented, lengths, cand_diag, didx, sprof)
     for name, r, p in zip(["dp_score", "dp_j", "ug_score", "ug_j"],
                           ref_out, pal_out):
@@ -62,7 +62,7 @@ def test_extend_parity_tiny_interpret():
     lengths[3] = 0
     lengths[4] = 17
     codes[4, 17:] = 4
-    _assert_extend_parity(didx, sprof, cfg, codes, lengths, tile_p=128,
+    _assert_extend_parity(didx, sprof, cfg, codes, lengths,
                           interpret=not ON_TPU)
 
 

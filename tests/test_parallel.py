@@ -77,3 +77,20 @@ def test_shard_batch_padding(small_cfg):
     assert c.shape[0] == 16
     assert (l[10:] == 0).all()
     assert (c[10:] == 4).all()
+
+
+def test_scaling_report(dev_state, tiny_ref, small_cfg):
+    """Weak-scaling harness runs over virtual devices and reports sane
+    efficiency numbers (config 5 report shape)."""
+    from parasuite_tpu.benchkit.scaling import measure_scaling
+
+    didx, sprof = dev_state
+    rng = np.random.default_rng(800)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 8 * 16, 50, mutate=1)
+    rep = measure_scaling(didx, sprof, codes, lengths, small_cfg,
+                          device_counts=[1, 2, 8], per_device_reads=16,
+                          rounds=1)
+    assert [p["n_devices"] for p in rep["points"]] == [1, 2, 8]
+    assert rep["points"][0]["efficiency"] == 1.0
+    for p in rep["points"]:
+        assert p["reads_per_s"] > 0

@@ -1,23 +1,26 @@
 """Stage-level timing of the align pipeline on the current backend.
 
-Usage: python tools/profile_stages.py [n_reads] [batch]
-Times orient+seed+select / extend / finalize separately (each jitted and
-block_until_ready'd) to direct kernel optimization (SURVEY.md §5 tracing).
+Usage: python tools/profile_stages.py [n_reads]
+Times each pipeline stage separately (jitted, block_until_ready'd) to direct
+kernel optimization (SURVEY.md §5 tracing).
 """
 
 import functools
+import os
 import sys
 import time
 from pathlib import Path
 
-import numpy as np
-
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
 import jax
+import numpy as np
 
 import bench
 from parasuite_tpu.ops import aligner as A
+from parasuite_tpu.ops import pallas_extend as PE
 from parasuite_tpu.ops.device_index import min_scores_host
 from parasuite_tpu.sim import simulate_reads
 
@@ -41,38 +44,99 @@ def main():
     codes, lengths, _ = simulate_reads(ref, n_reads, bench.READ_LEN, cfg,
                                        seed=2, tc_rate=0.12)
     ms = min_scores_host(lengths, cfg)
+    L = cfg.max_read_len
+
+    stages = {}
 
     @jax.jit
-    def stage1(codes, lengths):
-        oriented = A.orient_reads(codes, lengths)
-        diags = A.seed_diagonals(oriented, lengths, didx, cfg)
-        cand_diag, cand_valid = A.select_candidates(diags, cfg)
-        return oriented, cand_diag, cand_valid
+    def s_orient(codes, lengths):
+        return A.orient_reads(codes, lengths)
 
     @jax.jit
-    def stage2(oriented, lengths, cand_diag):
-        return A.extend_candidates(oriented, lengths, cand_diag, didx, sprof,
-                                   cfg)
+    def s_seed(oriented, lengths):
+        return A.seed_diagonals(oriented, lengths, didx, cfg)
 
     @jax.jit
-    def stage3(oriented, lengths, ms, cand_diag, cand_valid, ext):
+    def s_select(diags):
+        return A.select_candidates(diags, cfg)
+
+    @jax.jit
+    def s_prep(oriented, lengths, cand_diag):
+        return PE._pairs_layout(oriented, lengths, cand_diag, didx, sprof,
+                                cfg, L)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def s_refwin(cand_diag):
+        W = cfg.band_width
+        WINP = L + PE.BAND_PAD
+        G = didx.ref_seq.shape[0]
+        P = cand_diag.size
+        diag = jnp.clip(cand_diag, -(WINP + 1), G).reshape(P)
+        t = jnp.arange(WINP)
+        widx = (diag - W)[None, :] + t[:, None]
+        inr = (widx >= 0) & (widx < G)
+        return jnp.where(inr, didx.ref_seq[jnp.clip(widx, 0, G - 1)],
+                         jnp.int8(4))
+
+    @jax.jit
+    def s_rows5(oriented, lengths):
+        B = oriented.shape[0]
+        B2 = B * 2
+        reads2 = oriented.reshape(B2, L)
+        len2 = jnp.repeat(lengths, 2)
+        strand2 = jnp.tile(jnp.arange(2), B)
+        i = jnp.arange(L)
+        prof = jnp.where(strand2[:, None] == 0, i[None, :],
+                         jnp.clip(len2[:, None] - 1 - i[None, :], 0, L - 1))
+        s_all = jnp.stack([sprof.s_fwd, sprof.s_comp])
+        rows5 = s_all[strand2[:, None, None], prof[:, :, None],
+                      jnp.arange(5)[None, None, :], reads2[:, :, None]]
+        rows5 = rows5.astype(jnp.int8).reshape(B2, L * 5)
+        return jnp.repeat(rows5, cfg.max_candidates, axis=0).T
+
+    pal = jax.jit(functools.partial(PE.extend_candidates_pallas, cfg=cfg))
+    jnp_ext = jax.jit(functools.partial(A.extend_candidates, cfg=cfg))
+
+    @jax.jit
+    def s_finalize(oriented, lengths, ms, cand_diag, cand_valid, ext):
         return A.finalize(oriented, lengths, ms, cand_diag, cand_valid,
                           *ext, didx, sprof, cfg)
 
-    full = jax.jit(functools.partial(A.align_batch, cfg=cfg))
-    t_full, _ = timeit(full, didx, sprof, codes, lengths, ms)
+    stages["orient"], oriented = timeit(s_orient, codes, lengths)
+    stages["seed_lookup"], diags = timeit(s_seed, oriented, lengths)
+    stages["select"], (cand_diag, cand_valid) = timeit(s_select, diags)
+    stages["extend_prep(gathers)"], _ = timeit(s_prep, oriented, lengths,
+                                               cand_diag)
+    stages["prep.refwin_gather"], _ = timeit(s_refwin, cand_diag)
+    stages["prep.rows5_build"], _ = timeit(s_rows5, oriented, lengths)
+    stages["extend_pallas_total"], ext = timeit(pal, oriented, lengths,
+                                                cand_diag, didx, sprof)
+    stages["extend_jnp_total"], _ = timeit(jnp_ext, oriented, lengths,
+                                           cand_diag, didx, sprof)
+    stages["finalize"], _ = timeit(s_finalize, oriented, lengths, ms,
+                                   cand_diag, cand_valid, ext)
 
-    t1, (oriented, cand_diag, cand_valid) = timeit(stage1, codes, lengths)
-    t2, ext = timeit(stage2, oriented, lengths, cand_diag)
-    t3, _ = timeit(stage3, oriented, lengths, ms, cand_diag, cand_valid, ext)
+    for impl in ("pallas", "jnp"):
+        full = jax.jit(functools.partial(
+            A.align_batch, cfg=cfg.replace(extend_impl=impl)))
+        stages[f"full_{impl}"], _ = timeit(full, didx, sprof, codes, lengths,
+                                           ms)
+
+    trace_dir = os.environ.get("PARASUITE_TRACE_DIR")
+    if trace_dir:
+        # Perfetto/XPlane trace of one full-pipeline step (SURVEY.md §5)
+        full = jax.jit(functools.partial(A.align_batch, cfg=cfg))
+        with jax.profiler.trace(trace_dir):
+            jax.block_until_ready(full(didx, sprof, codes, lengths, ms))
+        print(f"trace written to {trace_dir}")
 
     print(f"backend={jax.default_backend()} reads={n_reads} "
           f"pairs={n_reads * 2 * cfg.max_candidates}")
-    print(f"stage1 seed+select : {t1*1e3:8.2f} ms")
-    print(f"stage2 extend      : {t2*1e3:8.2f} ms")
-    print(f"stage3 finalize    : {t3*1e3:8.2f} ms")
-    print(f"full fused         : {t_full*1e3:8.2f} ms "
-          f"({n_reads / t_full:,.0f} reads/s)")
+    for k, v in stages.items():
+        print(f"{k:24s}: {v*1e3:8.2f} ms")
+    print(f"full_pallas throughput  : {n_reads / stages['full_pallas']:,.0f} reads/s")
 
 
 if __name__ == "__main__":
