@@ -29,12 +29,13 @@ sys.path.insert(0, str(REPO))
 # minutes; cache hits make repeat bench runs start in seconds
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
-# benchmark scale (chr22-like synthetic reference; deterministic)
+# benchmark scale (chr22-like synthetic reference; deterministic);
+# batch size is overridable for tuning (PARASUITE_BENCH_BATCH)
 REF_LEN = 20_000_000
 READ_LEN = 50
-N_READS_TPU = 16 * 4096
+BATCH_TPU = int(os.environ.get("PARASUITE_BENCH_BATCH", 8192))
+N_READS_TPU = 16 * BATCH_TPU
 N_READS_CPU = 1024
-BATCH_TPU = 4096
 BATCH_CPU = 512
 TIMED_ROUNDS = 3
 

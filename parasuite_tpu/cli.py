@@ -64,7 +64,8 @@ def _load_engine(args, cfg):
         comb = CombinedReference.load(args.index_prefix)
         return CombinedEngine(comb, idx, cfg, s_tensor=s)
     ref = PackedReference.load(args.index_prefix)
-    return AlignerEngine(ref, idx, cfg, s_tensor=s)
+    return AlignerEngine(ref, idx, cfg, s_tensor=s,
+                         xa_tags=getattr(args, "xa", False))
 
 
 def _batches(args, cfg):
@@ -308,6 +309,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("fastq")
     p.add_argument("out")
     p.add_argument("--profile", help=".errorprofile for profile-aware scoring")
+    p.add_argument("--xa", action="store_true",
+                   help="emit XA:Z alternative-hit tags (slower)")
     p.add_argument("--resume", action="store_true",
                    help="resume from <out>.progress.json checkpoint")
     p.add_argument("--log", help="append per-batch JSONL stats here")

@@ -73,6 +73,16 @@ class AlignConfig:
             raise ValueError("max_seeds * kmer_size must fit in max_read_len")
         if self.kmer_size > 15:
             raise ValueError("kmer_size > 15 overflows int32 k-mer codes")
+        # the Pallas kernel ships per-base scores as int8 (ops/pallas_extend)
+        for f in ("match_score", "mismatch_score", "n_score",
+                  "profile_min_score", "profile_max_score"):
+            v = getattr(self, f)
+            if not (-128 <= v <= 127):
+                raise ValueError(f"{f}={v} does not fit the kernel's int8 "
+                                 "score feed")
+        if self.band > 16:
+            raise ValueError("band (2*band_width+1) exceeds the kernel's "
+                             "16-sublane band tile")
 
     @property
     def band(self) -> int:

@@ -50,7 +50,8 @@ def format_record(name: str, read_codes: np.ndarray, read_len: int,
                   qual: bytes, ref: PackedReference, *,
                   mapped: bool, strand: int = 0, packed_pos: int = -1,
                   mapq: int = 0, cigar=None, score: int = 0, nm: int = 0,
-                  x0: int = 0, x1: int = 0, with_md: bool = True) -> str:
+                  x0: int = 0, x1: int = 0, with_md: bool = True,
+                  extra_tags: list | None = None) -> str:
     """One SAM line (no trailing newline).
 
     read_codes/qual are in machine (sequencing) orientation; this function
@@ -80,6 +81,8 @@ def format_record(name: str, read_codes: np.ndarray, read_len: int,
     if with_md:
         aligned = revcomp_codes(codes) if strand == 1 else np.asarray(codes)
         tags.append("MD:Z:" + md_tag(ref.seq, packed_pos, cigar, aligned))
+    if extra_tags:
+        tags.extend(extra_tags)
     return "\t".join([name, str(flag), rname, str(pos_1), str(mapq),
                       cigar_string(cigar), "*", "0", "0", seq, q] + tags)
 

@@ -80,22 +80,33 @@ class HostAlignments:
     ug_equal: np.ndarray
     cigars: list             # [(op, len)] per read
     tc_count: np.ndarray     # machine-frame T->C conversions per read
+    xa: list = None          # per-read XA:Z alternative-hit strings (or None)
 
 
 class AlignerEngine:
     """Holds device state and the jitted align step for one reference+profile."""
 
     def __init__(self, ref: PackedReference, index: KmerIndex,
-                 cfg: AlignConfig, s_tensor: np.ndarray | None = None):
+                 cfg: AlignConfig, s_tensor: np.ndarray | None = None,
+                 xa_tags: bool = False, xa_limit: int = 10):
         self.ref = ref
         self.sam_ref = ref  # reference used for SAM emission/clusters
         self.cfg = cfg
+        self.xa_tags = xa_tags
+        self.xa_limit = xa_limit
         self.didx = DeviceIndex.from_host(ref, index)
         self.s_tensor = (s_tensor if s_tensor is not None
                          else flat_score_tensor(cfg, cfg.max_read_len))
         self.s_comp = complement_score_tensor(self.s_tensor)
         self.sprof = ScoreParams.from_tensor(self.s_tensor, cfg)
-        self._align = jax.jit(functools.partial(align_batch, cfg=cfg))
+        if xa_tags:
+            from parasuite_tpu.ops.aligner import align_batch_with_candidates
+
+            self._align_cand = jax.jit(functools.partial(
+                align_batch_with_candidates, cfg=cfg))
+            self._align = lambda *a: self._align_cand(*a)[0]
+        else:
+            self._align = jax.jit(functools.partial(align_batch, cfg=cfg))
         self._counts = jax.jit(functools.partial(profile_counts_batch, cfg=cfg))
 
     def set_profile(self, s_tensor: np.ndarray) -> None:
@@ -107,10 +118,16 @@ class AlignerEngine:
 
     # --- device steps ---
     def align_device(self, codes: np.ndarray, lengths: np.ndarray):
+        """-> AlignResult, or (AlignResult, CandidateTable) with xa_tags."""
+        if self.xa_tags:
+            return self._align_cand(self.didx, self.sprof, codes, lengths,
+                                    min_scores_host(lengths, self.cfg))
         return self._align(self.didx, self.sprof, codes, lengths,
                            min_scores_host(lengths, self.cfg))
 
     def profile_counts_device(self, codes, lengths, res):
+        if not hasattr(res, "mapped"):
+            res = res[0]
         return self._counts(self.didx, codes, lengths, res.mapped, res.strand,
                             res.pos, res.ug_equal)
 
@@ -118,6 +135,9 @@ class AlignerEngine:
     def to_host(self, batch: ReadBatch, res) -> HostAlignments:
         """Pull results to host; run tracebacks for the rare gapped reads."""
         cfg = self.cfg
+        table = None
+        if not hasattr(res, "mapped"):
+            res, table = res
         mapped = np.asarray(res.mapped)
         strand = np.asarray(res.strand)
         pos = np.asarray(res.pos).copy()
@@ -145,11 +165,13 @@ class AlignerEngine:
             cigars.append(cigar)
             nm[b] = total_nm
         tc = self._tc_counts(batch, mapped, strand, pos, ug_eq)
+        xa = (self._xa_strings(batch, table, mapped, strand, pos, score)
+              if table is not None else None)
         return HostAlignments(mapped=mapped, strand=strand, pos=pos,
                               score=score, mapq=np.asarray(res.mapq),
                               x0=np.asarray(res.x0), x1=np.asarray(res.x1),
                               nm=nm, ug_equal=ug_eq, cigars=cigars,
-                              tc_count=tc)
+                              tc_count=tc, xa=xa)
 
     def _tc_counts(self, batch: ReadBatch, mapped, strand, pos, ug_eq) -> np.ndarray:
         """Machine-frame T->C conversions per ungapped mapped read (vectorized;
@@ -166,6 +188,58 @@ class AlignerEngine:
         cb = batch.codes.astype(np.int64)
         use = (mapped & ug_eq)[:, None] & (i < lens)
         return np.sum(use & (rb == 3) & (cb == 1), axis=1).astype(np.int32)
+
+    def _xa_strings(self, batch, table, mapped, strand, pos, score):
+        """Per-read XA:Z alternative-hit tags (BWA samse convention:
+        chrom,(+/-)pos1,CIGAR,NM; up to xa_limit alternates; ungapped
+        alternates only — gapped alternates are <<1% of <<1%)."""
+        t_valid = np.asarray(table.valid)
+        t_strand = np.asarray(table.strand)
+        t_pos = np.asarray(table.pos)
+        t_score = np.asarray(table.score)
+        t_ug = np.asarray(table.ug_equal)
+        B, n = t_valid.shape
+        xa: list = [None] * B
+        G = self.sam_ref.seq.shape[0]
+        for b in range(B):
+            if not mapped[b] or not t_valid[b].any():
+                continue
+            ln = int(batch.lengths[b])
+            # unique alternates != the chosen hit
+            seen = {(int(strand[b]), int(pos[b]))}
+            alts = []
+            order = np.lexsort((t_pos[b], t_strand[b], -t_score[b]))
+            for t in order:
+                if not (t_valid[b, t] and t_ug[b, t]):
+                    continue
+                key = (int(t_strand[b, t]), int(t_pos[b, t]))
+                if key in seen:
+                    continue
+                seen.add(key)
+                alts.append(t)
+                if len(alts) >= self.xa_limit:
+                    break
+            if not alts:
+                continue
+            parts = []
+            from parasuite_tpu.utils.dna import revcomp_codes as _rc
+            for t in alts:
+                p = int(t_pos[b, t])
+                st = int(t_strand[b, t])
+                ci, local = self.sam_ref.locate(np.asarray([p]))
+                if ci[0] < 0 or p + ln > G:
+                    continue
+                oriented = (batch.codes[b, :ln] if st == 0
+                            else _rc(batch.codes[b, :ln]))
+                rb = self.sam_ref.seq[p : p + ln]
+                nm_alt = int(np.sum((rb != oriented) | (rb == N)
+                                    | (oriented == N)))
+                parts.append(f"{self.sam_ref.names[int(ci[0])]},"
+                             f"{'+' if st == 0 else '-'}{int(local[0]) + 1},"
+                             f"{ln}M,{nm_alt}")
+            if parts:
+                xa[b] = "XA:Z:" + ";".join(parts) + ";"
+        return xa
 
     # --- one-call convenience ---
     def align_to_host(self, batch: ReadBatch) -> HostAlignments:
@@ -189,6 +263,8 @@ class AlignerEngine:
             return
 
         elig = host.ug_equal[:n] | ~host.mapped[:n]
+        if host.xa is not None:
+            elig = elig & np.asarray([host.xa[b] is None for b in range(n)])
         b = 0
         while b < n:
             if not elig[b]:
@@ -202,13 +278,17 @@ class AlignerEngine:
             b = e
 
     def _format_one(self, batch, host, b) -> str:
+        extra = None
+        if host.xa is not None and host.xa[b]:
+            extra = [host.xa[b]]
         return format_record(
             batch.names[b], batch.codes[b], int(batch.lengths[b]),
             batch.quals[b], self.sam_ref,
             mapped=bool(host.mapped[b]), strand=int(host.strand[b]),
             packed_pos=int(host.pos[b]), mapq=int(host.mapq[b]),
             cigar=host.cigars[b], score=int(host.score[b]),
-            nm=int(host.nm[b]), x0=int(host.x0[b]), x1=int(host.x1[b]))
+            nm=int(host.nm[b]), x0=int(host.x0[b]), x1=int(host.x1[b]),
+            extra_tags=extra)
 
     def _format_native_run(self, batch, host, b, e) -> str:
         from parasuite_tpu import native

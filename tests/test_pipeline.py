@@ -138,3 +138,32 @@ def test_tc_count_strand_correct(engine, tiny_ref, small_cfg):
     assert pure.sum() > 20
     np.testing.assert_array_equal(host.tc_count[pure], truth.n_conversions[pure])
     assert (host.strand[pure] == 1).any() and (host.strand[pure] == 0).any()
+
+
+def test_xa_alternative_hits(tiny_ref, tiny_index, small_cfg):
+    """XA:Z alternates for multi-hit reads (BWA samse convention)."""
+    from parasuite_tpu.index import KmerIndex, PackedReference
+
+    rng = np.random.default_rng(900)
+    core = rng.integers(0, 4, 300).astype(np.int8)
+    seq = np.concatenate([core, rng.integers(0, 4, 400).astype(np.int8), core])
+    ref = PackedReference.from_dict({"dup": seq}, spacer=small_cfg.chrom_spacer)
+    idx = KmerIndex.build(ref.seq, small_cfg.kmer_size)
+    eng = AlignerEngine(ref, idx, small_cfg, xa_tags=True)
+    codes = np.stack([core[20:70], rng.integers(0, 4, 50).astype(np.int8)])
+    lengths = np.full(2, 50, dtype=np.int32)
+    host = eng.align_to_host(_mk_batch(codes, lengths))
+    assert host.mapped[0] and host.x0[0] == 2
+    # winner at 20, alternate at 700+20=720 (1-based 721)
+    assert host.xa[0] == "XA:Z:dup,+721,50M,0;"
+    assert host.xa[1] is None  # unmapped: no alternates
+
+    # XA makes it into the SAM record
+    from parasuite_tpu.io.sam import SamWriter
+    import io as _io
+    class W:
+        def __init__(self): self.lines = []
+        def write(self, l): self.lines.append(l)
+    w = W()
+    eng.emit_sam(_mk_batch(codes, lengths), host, w)
+    assert "XA:Z:dup,+721,50M,0;" in w.lines[0]
