@@ -8,14 +8,16 @@ outputs — tests/test_pallas.py), re-laid-out for the VPU:
     of 128 lanes; this layout uses all of them;
   * the read-position loop is statically unrolled, so every slice is static
     and Mosaic emits straight-line vector code (no per-step dispatch);
-  * the reference arrives as 2-BIT PACKED int32 words (16 bases/word) plus a
-    16-bit N mask — the XLA-side window gather shrinks from L+16 rows of
-    int8 to ~6 rows of int32 (the gather was 60ms/batch, the dominant cost
-    measured by tools/profile_stages.py); the kernel unpacks with per-lane
-    variable shifts;
+  * the reference arrives as 3-BIT PACKED int32 words (10 bases/word, N=4
+    packed directly — ops/packed_ref.py): ONE gather stream of ~8 rows per
+    pair instead of int8 bases (L+16 rows) or 2-bit words + N-mask (12 rows).
+    XLA element gathers are the pipeline's dominant cost (~60k elem/ms on
+    v5e), so gathered-row count is the metric that matters. The kernel tracks
+    (word row, in-word offset) incrementally — +1 with carry per read
+    position — so no in-kernel division;
   * substitution scores come from PER-READ 5-row tables (int8, [L*5, B2])
-    lane-repeated C-fold inside the kernel via pltpu.repeat — no [L*5, P]
-    materialization in HBM;
+    built by one-hot bf16 MATMULS on the XLA side (exact for int8 scores;
+    zero gathers) and lane-repeated C-fold inside the kernel via pltpu.repeat;
   * gap closure (Iy) uses a log-step sublane prefix-max instead of a
     sequential band walk.
 
@@ -34,37 +36,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from parasuite_tpu.config import AlignConfig
-from parasuite_tpu.ops.aligner import NEG
+from parasuite_tpu.ops.aligner import NEG, flip_onehot
 from parasuite_tpu.ops.device_index import DeviceIndex, ScoreParams
+from parasuite_tpu.ops.packed_ref import (BASES_PER_WORD, pack_reference,
+                                          split_base)
 
 BAND_PAD = 16      # sublane tile for int32
 READS_PER_TILE = 128  # lane-aligned read block; tile_p = 128 * C
 
 
-def pack_reference(ref_seq: jnp.ndarray):
-    """int8 codes [G] -> (words int32 [ceil(G/16)], nmask int32 [...]).
-
-    words hold 16 bases at 2 bits each (N packed as 0); nmask holds the
-    is-N bit per base. Recomputed inside the jit per batch — it is a handful
-    of shifted adds over G/16 words, microseconds next to the gathers it
-    eliminates, and keeps DeviceIndex's layout unchanged everywhere.
-    """
-    G = ref_seq.shape[0]
-    Gp = ((G + 15) // 16) * 16
-    seq_p = jnp.pad(ref_seq, (0, Gp - G), constant_values=4)
-    s4 = seq_p.reshape(Gp // 16, 16).astype(jnp.int32)
-    shifts2 = (jnp.arange(16, dtype=jnp.int32) * 2)[None, :]
-    shifts1 = jnp.arange(16, dtype=jnp.int32)[None, :]
-    words = jnp.sum(jnp.where(s4 == 4, 0, s4) << shifts2, axis=1)
-    nmask = jnp.sum((s4 == 4).astype(jnp.int32) << shifts1, axis=1)
-    return words, nmask
-
-
-def _extend_kernel(refw_ref, nw_ref, base_ref, rows5_ref, lengths_ref,
+def _extend_kernel(refw_ref, base_ref, rows5_ref, lengths_ref,
                    out_ref, *, L, band, go, ge, tile_p, n_words, c_rep, G):
     """One tile:
-       refw/nw  [n_words, TILE_P] int32 — packed ref words per pair
-       base     [1, TILE_P] int32 — packed coord of band origin (diag - W)
+       refw     [n_words, TILE_P] int32 — 3-bit packed ref words per pair
+       base     [2, TILE_P] int32 — row 0: packed coord of band origin
+                (diag - W, for in-range masking); row 1: its in-word offset
        rows5    [L*5, TILE_P // c_rep] int8 — per-read score rows
        lengths  [1, TILE_P] int32
        out      [4, TILE_P] int32 (dp_score, dp_j, ug_score, ug_j)
@@ -74,7 +60,15 @@ def _extend_kernel(refw_ref, nw_ref, base_ref, rows5_ref, lengths_ref,
     neg = jnp.full((BAND_PAD, tile_p), NEG, dtype=jnp.int32)
     lr = lengths_ref[0:1, :]                     # [1, TILE_P]
     base = base_ref[0:1, :]                      # [1, TILE_P]
-    base_w = base >> 4                           # word index of first window word
+    base_r = base_ref[1:2, :]                    # [1, TILE_P]
+
+    # packed-position state for ref[base + i + jrow]: word row `rel` relative
+    # to the gathered window and in-word offset `xm`, advanced incrementally
+    # (x = base_r + i + jrow <= 9 + L-1 + 15, so init needs two compares)
+    x = base_r + jrow
+    rel = (x >= BASES_PER_WORD).astype(jnp.int32) + \
+        (x >= 2 * BASES_PER_WORD).astype(jnp.int32)
+    xm = x - rel * BASES_PER_WORD
 
     m = neg
     ix = neg
@@ -82,22 +76,14 @@ def _extend_kernel(refw_ref, nw_ref, base_ref, rows5_ref, lengths_ref,
     ug = jnp.zeros((BAND_PAD, tile_p), dtype=jnp.int32)
 
     for i in range(L):
-        # --- unpack rb[j, p] = ref[base + i + j] from packed words ---
-        off = base + i + jrow                    # absolute packed position
-        rel = (off >> 4) - base_w                # word row in [0, n_words)
+        # --- rb[j, p] = ref[base + i + j] from packed words ---
         word = jnp.zeros((BAND_PAD, tile_p), dtype=jnp.int32)
-        nwrd = jnp.zeros((BAND_PAD, tile_p), dtype=jnp.int32)
         for r in range(n_words):
-            wrow = refw_ref[r : r + 1, :]
-            nrow = nw_ref[r : r + 1, :]
-            hit = rel == r
-            word = jnp.where(hit, wrow, word)
-            nwrd = jnp.where(hit, nrow, nwrd)
-        bit = off & 15
-        code = (word >> (bit * 2)) & 3
-        is_n = (nwrd >> bit) & 1
+            word = jnp.where(rel == r, refw_ref[r : r + 1, :], word)
+        code = (word >> (xm * 3)) & 7
+        off = base + i + jrow
         inr = (off >= 0) & (off < G)
-        rb = jnp.where(inr & (is_n == 0), code, 4)
+        rb = jnp.where(inr, code, 4)
 
         # --- sub[j, p] via 5-way select from lane-repeated score rows ---
         sub = jnp.full((BAND_PAD, tile_p), NEG, dtype=jnp.int32)
@@ -136,6 +122,12 @@ def _extend_kernel(refw_ref, nw_ref, base_ref, rows5_ref, lengths_ref,
         iy = jnp.where(act, iy_new, neg)
         ug = ug + jnp.where(act & in_band, sub, 0)
 
+        # advance packed-position state to read position i + 1
+        xm = xm + 1
+        wrap = xm == BASES_PER_WORD
+        rel = rel + wrap.astype(jnp.int32)
+        xm = jnp.where(wrap, 0, xm)
+
     big = jnp.int32(1 << 20)
 
     def best(x):
@@ -152,6 +144,35 @@ def _extend_kernel(refw_ref, nw_ref, base_ref, rows5_ref, lengths_ref,
     out_ref[3:4, :] = ug_j
 
 
+def build_score_rows(oriented, lengths, sprof: ScoreParams, L: int):
+    """Per-read substitution score rows [L*5, B2] int8, zero gathers.
+
+    rows5[i*5 + r, b2] = S_all[strand][prof(b2, i)][r][read(b2, i)], built as
+    one-hot bf16 matmuls (exact: |scores| <= 127 and one-hot products have a
+    single nonzero, accumulated in f32). Forward rows come straight from the
+    forward codes; reverse rows use the identity rc[i] = comp(fwd[len-1-i]):
+    compute A[q] = S_comp[q, :, comp(fwd[q])] in the forward frame, then flip
+    with the shared one-hot flip matrix (CSE'd with orient_reads under jit).
+    Rows at i >= len are unconstrained (the kernel masks them via `act`).
+    """
+    B = oriented.shape[0]
+    fwd = oriented[:, 0, :]                                  # [B, L] int32
+    comp = jnp.where(fwd < 4, 3 - fwd, 4)
+    ohf = jax.nn.one_hot(fwd, 5, dtype=jnp.bfloat16)
+    ohc = jax.nn.one_hot(comp, 5, dtype=jnp.bfloat16)
+    sf = sprof.s_fwd[:L].astype(jnp.bfloat16)                # [L, 5, 5]
+    sc = sprof.s_comp[:L].astype(jnp.bfloat16)
+    rows_f = jnp.einsum("blc,lrc->blr", ohf, sf,
+                        preferred_element_type=jnp.float32)
+    a_c = jnp.einsum("blc,lrc->blr", ohc, sc,
+                     preferred_element_type=jnp.float32)
+    flip = flip_onehot(lengths, L)                           # [B, L, L] bf16
+    rows_r = jnp.einsum("biq,bqr->bir", flip, a_c.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    rows = jnp.stack([rows_f, rows_r], axis=1)               # [B, 2, L, 5]
+    return rows.astype(jnp.int8).reshape(B * 2, L * 5).T     # [L*5, B2]
+
+
 def _pairs_layout(oriented, lengths, cand_diag, didx, sprof, cfg, L):
     """XLA-side preparation: packed ref word windows + per-read score tables."""
     B = oriented.shape[0]
@@ -160,35 +181,23 @@ def _pairs_layout(oriented, lengths, cand_diag, didx, sprof, cfg, L):
     G = didx.ref_seq.shape[0]
     B2 = B * 2
     P = B2 * C
-    # words covering [base, base + L + BAND_PAD): base may straddle, so
-    # ceil((L + BAND_PAD)/16) + 1 rows
-    n_words = (L + BAND_PAD + 15) // 16 + 1
+    # rows covering in-word offsets up to 9 + (L-1) + (BAND_PAD-1)
+    n_words = (L + BAND_PAD + BASES_PER_WORD - 1) // BASES_PER_WORD + 1
 
-    words, nmask = pack_reference(didx.ref_seq)
-    NW_tot = words.shape[0]
+    words = pack_reference(didx.ref_seq)
+    nw_tot = words.shape[0]
     diag = jnp.clip(cand_diag, -(L + BAND_PAD + 1), G).reshape(P)
     base = diag - W
-    base_w = base >> 4
+    base_q, base_r = split_base(base)
     r = jnp.arange(n_words)
-    widx = jnp.clip(base_w[None, :] + r[:, None], 0, NW_tot - 1)
+    widx = jnp.clip(base_q[None, :] + r[:, None], 0, nw_tot - 1)
     refw = words[widx]                                       # [n_words, P]
-    nw = nmask[widx]
 
-    # rows5[i*5 + r, b2] = S_all[strand][prof(b2, i)][r][read(b2, i)]
-    reads2 = oriented.reshape(B2, L)
+    rows5 = build_score_rows(oriented, lengths, sprof, L)    # [L*5, B2]
+    base2 = jnp.stack([base, base_r]).astype(jnp.int32)      # [2, P]
     len2 = jnp.repeat(lengths, 2)
-    strand2 = jnp.tile(jnp.arange(2), B)
-    i = jnp.arange(L)
-    prof = jnp.where(strand2[:, None] == 0, i[None, :],
-                     jnp.clip(len2[:, None] - 1 - i[None, :], 0, L - 1))
-    s_all = jnp.stack([sprof.s_fwd, sprof.s_comp])           # [2, L, 5, 5]
-    rows5 = s_all[strand2[:, None, None], prof[:, :, None],
-                  jnp.arange(5)[None, None, :], reads2[:, :, None]]
-    rows5 = rows5.astype(jnp.int8).reshape(B2, L * 5).T      # [L*5, B2]
-
-    base2d = base[None, :].astype(jnp.int32)                 # [1, P]
     lr_pairs = jnp.repeat(len2, C)[None, :].astype(jnp.int32)  # [1, P]
-    return refw, nw, base2d, rows5, lr_pairs, P, n_words
+    return refw, base2, rows5, lr_pairs, P, n_words
 
 
 def extend_candidates_pallas(oriented, lengths, cand_diag, didx: DeviceIndex,
@@ -204,13 +213,12 @@ def extend_candidates_pallas(oriented, lengths, cand_diag, didx: DeviceIndex,
     G = didx.ref_seq.shape[0]
     tile_p = READS_PER_TILE * C
 
-    refw, nw, base2d, rows5, lr_pairs, P, n_words = _pairs_layout(
+    refw, base2, rows5, lr_pairs, P, n_words = _pairs_layout(
         oriented, lengths, cand_diag, didx, sprof, cfg, L)
     pad = (-P) % tile_p
     if pad:
         refw = jnp.pad(refw, ((0, 0), (0, pad)))
-        nw = jnp.pad(nw, ((0, 0), (0, pad)), constant_values=-1)  # all N
-        base2d = jnp.pad(base2d, ((0, 0), (0, pad)))
+        base2 = jnp.pad(base2, ((0, 0), (0, pad)))
         lr_pairs = jnp.pad(lr_pairs, ((0, 0), (0, pad)))
     pad_reads = (refw.shape[1] // tile_p) * READS_PER_TILE - rows5.shape[1]
     if pad_reads:
@@ -233,8 +241,7 @@ def extend_candidates_pallas(oriented, lengths, cand_diag, didx: DeviceIndex,
             0, 1, 3, 2).reshape(r, PT)
 
     refw = to_tile_order(refw)
-    nw = to_tile_order(nw)
-    base2d = to_tile_order(base2d)
+    base2 = to_tile_order(base2)
     lr_pairs = to_tile_order(lr_pairs)
 
     kernel = functools.partial(_extend_kernel, L=L, band=band,
@@ -246,9 +253,7 @@ def extend_candidates_pallas(oriented, lengths, cand_diag, didx: DeviceIndex,
         in_specs=[
             pl.BlockSpec((n_words, tile_p), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_words, tile_p), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p), lambda g: (0, g),
+            pl.BlockSpec((2, tile_p), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L * 5, READS_PER_TILE), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
@@ -259,7 +264,7 @@ def extend_candidates_pallas(oriented, lengths, cand_diag, didx: DeviceIndex,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, PT), jnp.int32),
         interpret=interpret,
-    )(refw, nw, base2d, rows5, lr_pairs)
+    )(refw, base2, rows5, lr_pairs)
 
     out = from_tile_order(out)[:, :P]
     shape = (B * 2, C)

@@ -67,34 +67,24 @@ def main():
 
     import jax.numpy as jnp
 
+    from parasuite_tpu.ops import packed_ref as PR
+
     @jax.jit
     def s_refwin(cand_diag):
+        # packed-word window gather (the new prep's only large gather)
         W = cfg.band_width
-        WINP = L + PE.BAND_PAD
         G = didx.ref_seq.shape[0]
         P = cand_diag.size
-        diag = jnp.clip(cand_diag, -(WINP + 1), G).reshape(P)
-        t = jnp.arange(WINP)
-        widx = (diag - W)[None, :] + t[:, None]
-        inr = (widx >= 0) & (widx < G)
-        return jnp.where(inr, didx.ref_seq[jnp.clip(widx, 0, G - 1)],
-                         jnp.int8(4))
+        n_words = (L + PE.BAND_PAD + PR.BASES_PER_WORD - 1) \
+            // PR.BASES_PER_WORD + 1
+        words = PR.pack_reference(didx.ref_seq)
+        diag = jnp.clip(cand_diag, -(L + PE.BAND_PAD + 1), G).reshape(P)
+        base_q, _ = PR.split_base(diag - W)
+        return PR.gather_window_rows(words, base_q, n_words)
 
     @jax.jit
     def s_rows5(oriented, lengths):
-        B = oriented.shape[0]
-        B2 = B * 2
-        reads2 = oriented.reshape(B2, L)
-        len2 = jnp.repeat(lengths, 2)
-        strand2 = jnp.tile(jnp.arange(2), B)
-        i = jnp.arange(L)
-        prof = jnp.where(strand2[:, None] == 0, i[None, :],
-                         jnp.clip(len2[:, None] - 1 - i[None, :], 0, L - 1))
-        s_all = jnp.stack([sprof.s_fwd, sprof.s_comp])
-        rows5 = s_all[strand2[:, None, None], prof[:, :, None],
-                      jnp.arange(5)[None, None, :], reads2[:, :, None]]
-        rows5 = rows5.astype(jnp.int8).reshape(B2, L * 5)
-        return jnp.repeat(rows5, cfg.max_candidates, axis=0).T
+        return PE.build_score_rows(oriented, lengths, sprof, L)
 
     pal = jax.jit(functools.partial(PE.extend_candidates_pallas, cfg=cfg))
     jnp_ext = jax.jit(functools.partial(A.extend_candidates, cfg=cfg))
