@@ -125,8 +125,12 @@ def cpu_subprocess_throughput() -> float:
 def make_cfg():
     from parasuite_tpu.config import AlignConfig
 
+    # max_occ=16: on this 20Mbp reference P(bucket count > 16) ~ 2e-14 for
+    # k=12, so results are identical to max_occ=32 while the seeding
+    # position-gather (a dominant stage cost) is halved; sensitivity is
+    # re-verified against simulation truth on every bench run
     return AlignConfig(max_read_len=READ_LEN, kmer_size=12, batch_size=BATCH_TPU,
-                       max_candidates=8, max_occ=32)
+                       max_candidates=8, max_occ=16)
 
 
 def main() -> int:

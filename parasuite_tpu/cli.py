@@ -123,12 +123,18 @@ def cmd_twopass(args) -> int:
 
     # pass 1: flat scoring, first-pass SAM + on-device profile counts
     pass1_sam = str(args.out) + ".pass1.sam"
+    indels: dict = {}
     _n1, counts, n_profiled = streaming_align(
         engine, args.fastq, pass1_sam, resume=args.resume,
-        with_profile_counts=True, log=log, command_line=cl)
-    profile = ErrorProfile(counts=counts, n_reads=n_profiled)
+        with_profile_counts=True, log=log, command_line=cl,
+        indel_out=indels)
+    profile = ErrorProfile(counts=counts, n_reads=n_profiled,
+                           ins_counts=indels.get("ins"),
+                           del_counts=indels.get("dels"),
+                           n_gapped=indels.get("n_gapped", 0))
     profile.save(profile_out)
-    log.event("twopass.profile", n_reads=profile.n_reads)
+    log.event("twopass.profile", n_reads=profile.n_reads,
+              n_gapped=profile.n_gapped)
 
     # pass 2: learned scoring
     engine.set_profile(counts_to_profile(profile, cfg))

@@ -32,14 +32,28 @@ from parasuite_tpu.utils.dna import COMP, N
 
 @dataclass
 class ErrorProfile:
-    """Substitution count matrix + derived frequencies.
+    """Substitution count matrix + indel counts + derived frequencies.
 
     counts: int64 [L, 4, 4]  (read_pos, ref_base, read_base), ACGT only —
             positions where either side is N are not counted.
+    ins_counts / del_counts: int64 [L] per-machine-cycle indel events from
+            the gapped alignments (SURVEY.md §2 component 3 "plus indel
+            rates"). Gapped reads are <<1% of PAR-CLIP data, so these are
+            counted on the host from traceback CIGARs, not on device.
     """
 
     counts: np.ndarray
     n_reads: int = 0
+    ins_counts: np.ndarray | None = None
+    del_counts: np.ndarray | None = None
+    n_gapped: int = 0
+
+    def __post_init__(self) -> None:
+        L = self.counts.shape[0]
+        if self.ins_counts is None:
+            self.ins_counts = np.zeros(L, dtype=np.int64)
+        if self.del_counts is None:
+            self.del_counts = np.zeros(L, dtype=np.int64)
 
     @property
     def read_len(self) -> int:
@@ -57,18 +71,49 @@ class ErrorProfile:
         with np.errstate(invalid="ignore", divide="ignore"):
             return np.where(tot > 0, row[:, read_base] / np.maximum(tot, 1), 0.0)
 
+    def indel_rates(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-machine-cycle (insertion, deletion) event rates.
+
+        Denominator = reads contributing at that cycle (substitution counts
+        at the cycle plus the gapped reads, which are absent from counts)."""
+        per_cycle = self.counts.sum(axis=(1, 2)).astype(np.float64) + \
+            float(self.n_gapped)
+        denom = np.maximum(per_cycle, 1.0)
+        return (self.ins_counts / denom, self.del_counts / denom)
+
+    def gap_penalties(self, cfg) -> tuple[int, int]:
+        """Learned (gap_open, gap_extend) on the integer log-odds scale.
+
+        Mirrors the substitution-score derivation (errormodel/scoring.py):
+        penalty = -profile_scale * log2(rate / 0.25), with additive smoothing
+        and clipped to the aligner's int8 kernel feed. Opt-in — the pipeline
+        keeps cfg's penalties unless the caller swaps them in explicitly."""
+        total_bases = float(self.counts.sum()) + self.n_gapped * max(
+            self.read_len, 1)
+        gap_bases = float(self.ins_counts.sum() + self.del_counts.sum())
+        p_gap = (gap_bases + cfg.profile_pseudocount) / max(total_bases, 1.0)
+        go = int(np.clip(round(-cfg.profile_scale
+                               * np.log2(max(p_gap, 1e-12) / 0.25)), 1, 127))
+        ge = max(1, go // 3)  # extension ~1/3 of open, BWA-like ratio
+        return go, ge
+
     # --- .errorprofile text format (ours; reference format to be matched on
     #     mount, SURVEY.md §8.2) ---
     def save(self, path) -> None:
-        lines = ["#parasuite_tpu errorprofile v1",
+        lines = ["#parasuite_tpu errorprofile v2",
                  f"#read_len\t{self.read_len}",
                  f"#n_reads\t{self.n_reads}",
+                 f"#n_gapped\t{self.n_gapped}",
                  "#pos\tref\tread\tcount"]
         bases = "ACGT"
         for i in range(self.read_len):
             for r in range(4):
                 for c in range(4):
                     lines.append(f"{i}\t{bases[r]}\t{bases[c]}\t{int(self.counts[i, r, c])}")
+        lines.append("#indels\tpos\tins\tdel")
+        for i in range(self.read_len):
+            lines.append(f"IND\t{i}\t{int(self.ins_counts[i])}"
+                         f"\t{int(self.del_counts[i])}")
         Path(path).write_text("\n".join(lines) + "\n")
 
     @classmethod
@@ -76,21 +121,33 @@ class ErrorProfile:
         base_idx = {"A": 0, "C": 1, "G": 2, "T": 3}
         read_len = 0
         n_reads = 0
+        n_gapped = 0
         rows = []
+        ind_rows = []
         for line in Path(path).read_text().splitlines():
             if line.startswith("#read_len"):
                 read_len = int(line.split("\t")[1])
             elif line.startswith("#n_reads"):
                 n_reads = int(line.split("\t")[1])
+            elif line.startswith("#n_gapped"):
+                n_gapped = int(line.split("\t")[1])
             elif line.startswith("#"):
                 continue
+            elif line.startswith("IND\t"):
+                _, p, ni, nd = line.split("\t")
+                ind_rows.append((int(p), int(ni), int(nd)))
             elif line:
                 p, r, c, n = line.split("\t")
                 rows.append((int(p), base_idx[r], base_idx[c], int(n)))
         counts = np.zeros((read_len, 4, 4), dtype=np.int64)
         for p, r, c, n in rows:
             counts[p, r, c] = n
-        return cls(counts=counts, n_reads=n_reads)
+        ins = np.zeros(read_len, dtype=np.int64)
+        dels = np.zeros(read_len, dtype=np.int64)
+        for p, ni, nd in ind_rows:
+            ins[p], dels[p] = ni, nd
+        return cls(counts=counts, n_reads=n_reads, ins_counts=ins,
+                   del_counts=dels, n_gapped=n_gapped)
 
 
 def infer_counts_numpy(read_codes: np.ndarray, lengths: np.ndarray,
@@ -128,6 +185,36 @@ def infer_counts_numpy(read_codes: np.ndarray, lengths: np.ndarray,
         np.add.at(counts, (cycle[ok], ref_b[ok], read_b[ok]), 1)
         n_used += 1
     return ErrorProfile(counts=counts, n_reads=n_used)
+
+
+def count_indels_from_cigar(cigar: list, read_len: int, strand: int,
+                            ins_counts: np.ndarray,
+                            del_counts: np.ndarray) -> None:
+    """Accumulate per-machine-cycle indel events from one traceback CIGAR.
+
+    The CIGAR walks the ORIENTED (genome-frame) read; machine cycle of
+    oriented offset q is q forward / read_len-1-q reverse (same frame
+    convention as the substitution counts). Insertions count one event per
+    inserted base at that base's cycle; a deletion of n ref bases counts n
+    events at the cycle of the read base following the gap.
+    """
+    L = ins_counts.shape[0]
+    qi = 0
+    for op, oln in cigar:
+        if op == "M":
+            qi += oln
+        elif op == "I":
+            for q in range(qi, qi + oln):
+                c = q if strand == 0 else read_len - 1 - q
+                if 0 <= c < L:
+                    ins_counts[c] += 1
+            qi += oln
+        elif op == "D":
+            q = min(qi, read_len - 1)
+            c = q if strand == 0 else read_len - 1 - q
+            if 0 <= c < L:
+                del_counts[c] += oln
+        # N (junction skips, combined mode) carries no indel signal
 
 
 def counts_to_profile(profile: ErrorProfile, cfg: AlignConfig) -> np.ndarray:

@@ -67,40 +67,20 @@ def orient_reads(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """[B, L] machine-frame codes -> [B, 2, L] (forward, revcomp) views.
 
     Revcomp rows are N-padded past each read's true length, mirroring how
-    ReadBatch pads forward rows. The reversal is a one-hot flip-matrix matmul
-    (exact in bf16: one nonzero per output), not a take_along_axis gather —
-    gathers are the pipeline's dominant TPU cost, and the flip matrix is
-    CSE'd with pallas_extend.build_score_rows under one jit. Complementing is
-    arithmetic (3 - c for ACGT, N fixed): a 5-entry table lookup would lower
-    to a second gather.
+    ReadBatch pads forward rows. (A one-hot flip-matrix MXU matmul was tried
+    and measured SLOWER than this single [B, L] gather: L=50-100 batched
+    matmuls pad catastrophically on the 128x128 systolic array.)
     """
     c32 = codes.astype(jnp.int32)
     L = codes.shape[1]
     i = jnp.arange(L)
-    comp = jnp.where(c32 < 4, 3 - c32, 4)
-    flip = flip_onehot(lengths, L)                              # [B, L, L]
-    rcf = jnp.einsum("biq,bq->bi", flip, comp.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
-    rc = jnp.where(i[None, :] < lengths[:, None],
-                   rcf.astype(jnp.int32), 4)
+    rev_idx = jnp.clip(lengths[:, None] - 1 - i[None, :], 0, L - 1)
+    gathered = jnp.take_along_axis(c32, rev_idx, axis=1)
+    # complement arithmetically (3 - c for ACGT, N fixed) — a 5-entry table
+    # lookup here lowers to a second gather, which is slow on TPU
+    comp = jnp.where(gathered < 4, 3 - gathered, 4)
+    rc = jnp.where(i[None, :] < lengths[:, None], comp, 4)
     return jnp.stack([c32, rc], axis=1)
-
-
-def flip_onehot(lengths: jnp.ndarray, L: int) -> jnp.ndarray:
-    """One-hot reverse-permutation matrices [B, L, L] (bf16).
-
-    flip[b, i, q] = 1 iff q == lengths[b]-1-i and i < lengths[b]; rows past
-    the read's length are all-zero. Contracting a per-position table A[b, q, :]
-    with this matrix (einsum "biq,bqr->bir") yields A in the reversed frame —
-    an MXU matmul instead of a take_along_axis gather, which is the faster
-    formulation on TPU (gathers are the pipeline's dominant cost). bf16 is
-    exact here: entries are 0/1 and each output element has exactly one
-    nonzero product, accumulated in f32 by callers.
-    """
-    i = jnp.arange(L)
-    q = lengths[:, None] - 1 - i[None, :]
-    q = jnp.where(i[None, :] < lengths[:, None], q, -1)  # -1 -> all-zero row
-    return jax.nn.one_hot(q, L, dtype=jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------

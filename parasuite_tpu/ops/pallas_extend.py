@@ -12,12 +12,14 @@ outputs — tests/test_pallas.py), re-laid-out for the VPU:
     packed directly — ops/packed_ref.py): ONE gather stream of ~8 rows per
     pair instead of int8 bases (L+16 rows) or 2-bit words + N-mask (12 rows).
     XLA element gathers are the pipeline's dominant cost (~60k elem/ms on
-    v5e), so gathered-row count is the metric that matters. The kernel tracks
-    (word row, in-word offset) incrementally — +1 with carry per read
-    position — so no in-kernel division;
+    v5e), so gathered-row count is the metric that matters. The kernel
+    unpacks the whole window into a VMEM scratch ONCE (compare-chain word
+    row + variable shift, ~5 vector blocks), so the DP loop reads static
+    16-row slices with zero per-step address math;
   * substitution scores come from PER-READ 5-row tables (int8, [L*5, B2])
-    built by one-hot bf16 MATMULS on the XLA side (exact for int8 scores;
-    zero gathers) and lane-repeated C-fold inside the kernel via pltpu.repeat;
+    built by one-hot int8 multiply-reduce on the XLA side (VPU; exact — one
+    nonzero term per output) and lane-repeated C-fold inside the kernel via
+    pltpu.repeat;
   * gap closure (Iy) uses a log-step sublane prefix-max instead of a
     sequential band walk.
 
@@ -36,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from parasuite_tpu.config import AlignConfig
-from parasuite_tpu.ops.aligner import NEG, flip_onehot
+from parasuite_tpu.ops.aligner import NEG
 from parasuite_tpu.ops.device_index import DeviceIndex, ScoreParams
 from parasuite_tpu.ops.packed_ref import (BASES_PER_WORD, pack_reference,
                                           split_base)
@@ -46,7 +48,8 @@ READS_PER_TILE = 128  # lane-aligned read block; tile_p = 128 * C
 
 
 def _extend_kernel(refw_ref, base_ref, rows5_ref, lengths_ref,
-                   out_ref, *, L, band, go, ge, tile_p, n_words, c_rep, G):
+                   out_ref, codes_ref, *, L, band, go, ge, tile_p, n_words,
+                   c_rep, G):
     """One tile:
        refw     [n_words, TILE_P] int32 — 3-bit packed ref words per pair
        base     [2, TILE_P] int32 — row 0: packed coord of band origin
@@ -54,6 +57,7 @@ def _extend_kernel(refw_ref, base_ref, rows5_ref, lengths_ref,
        rows5    [L*5, TILE_P // c_rep] int8 — per-read score rows
        lengths  [1, TILE_P] int32
        out      [4, TILE_P] int32 (dp_score, dp_j, ug_score, ug_j)
+       codes    [WIN_PAD, TILE_P] int32 VMEM scratch — unpacked ref codes
     """
     jrow = jax.lax.broadcasted_iota(jnp.int32, (BAND_PAD, tile_p), 0)
     in_band = jrow < band
@@ -62,13 +66,25 @@ def _extend_kernel(refw_ref, base_ref, rows5_ref, lengths_ref,
     base = base_ref[0:1, :]                      # [1, TILE_P]
     base_r = base_ref[1:2, :]                    # [1, TILE_P]
 
-    # packed-position state for ref[base + i + jrow]: word row `rel` relative
-    # to the gathered window and in-word offset `xm`, advanced incrementally
-    # (x = base_r + i + jrow <= 9 + L-1 + 15, so init needs two compares)
-    x = base_r + jrow
-    rel = (x >= BASES_PER_WORD).astype(jnp.int32) + \
-        (x >= 2 * BASES_PER_WORD).astype(jnp.int32)
-    xm = x - rel * BASES_PER_WORD
+    # --- unpack the whole ref window ONCE into scratch (the inner loop then
+    # reads static 16-row slices): codes[w, p] = ref[base + w], N=4 outside
+    # [0, G). Word row = (base_r + w) // 10 via a compare chain (rel <=
+    # n_words-1 for every row the DP actually reads); per-block cost is ~20
+    # vector ops vs ~12 PER DP STEP in the fused layout this replaced.
+    win_pad = codes_ref.shape[0]
+    for wb in range(0, win_pad, BAND_PAD):
+        x = base_r + wb + jrow                   # [BAND_PAD, TILE_P]
+        rel = jnp.zeros((BAND_PAD, tile_p), dtype=jnp.int32)
+        for r in range(1, n_words):
+            rel = rel + (x >= r * BASES_PER_WORD).astype(jnp.int32)
+        word = jnp.zeros((BAND_PAD, tile_p), dtype=jnp.int32)
+        for r in range(n_words):
+            word = jnp.where(rel == r, refw_ref[r : r + 1, :], word)
+        xm = x - rel * BASES_PER_WORD
+        code = (word >> (xm * 3)) & 7
+        off = base + wb + jrow
+        inr = (off >= 0) & (off < G)
+        codes_ref[wb : wb + BAND_PAD, :] = jnp.where(inr, code, 4)
 
     m = neg
     ix = neg
@@ -76,14 +92,7 @@ def _extend_kernel(refw_ref, base_ref, rows5_ref, lengths_ref,
     ug = jnp.zeros((BAND_PAD, tile_p), dtype=jnp.int32)
 
     for i in range(L):
-        # --- rb[j, p] = ref[base + i + j] from packed words ---
-        word = jnp.zeros((BAND_PAD, tile_p), dtype=jnp.int32)
-        for r in range(n_words):
-            word = jnp.where(rel == r, refw_ref[r : r + 1, :], word)
-        code = (word >> (xm * 3)) & 7
-        off = base + i + jrow
-        inr = (off >= 0) & (off < G)
-        rb = jnp.where(inr, code, 4)
+        rb = codes_ref[i : i + BAND_PAD, :]      # ref[base + i + jrow]
 
         # --- sub[j, p] via 5-way select from lane-repeated score rows ---
         sub = jnp.full((BAND_PAD, tile_p), NEG, dtype=jnp.int32)
@@ -122,12 +131,6 @@ def _extend_kernel(refw_ref, base_ref, rows5_ref, lengths_ref,
         iy = jnp.where(act, iy_new, neg)
         ug = ug + jnp.where(act & in_band, sub, 0)
 
-        # advance packed-position state to read position i + 1
-        xm = xm + 1
-        wrap = xm == BASES_PER_WORD
-        rel = rel + wrap.astype(jnp.int32)
-        xm = jnp.where(wrap, 0, xm)
-
     big = jnp.int32(1 << 20)
 
     def best(x):
@@ -145,32 +148,34 @@ def _extend_kernel(refw_ref, base_ref, rows5_ref, lengths_ref,
 
 
 def build_score_rows(oriented, lengths, sprof: ScoreParams, L: int):
-    """Per-read substitution score rows [L*5, B2] int8, zero gathers.
+    """Per-read substitution score rows [L*5, B2] int8.
 
-    rows5[i*5 + r, b2] = S_all[strand][prof(b2, i)][r][read(b2, i)], built as
-    one-hot bf16 matmuls (exact: |scores| <= 127 and one-hot products have a
-    single nonzero, accumulated in f32). Forward rows come straight from the
-    forward codes; reverse rows use the identity rc[i] = comp(fwd[len-1-i]):
-    compute A[q] = S_comp[q, :, comp(fwd[q])] in the forward frame, then flip
-    with the shared one-hot flip matrix (CSE'd with orient_reads under jit).
+    rows5[i*5 + r, b2] = S_all[strand][prof(b2, i)][r][read(b2, i)] with
+    prof(i) = i forward / len-1-i reverse. Built as one-hot multiply-reduce
+    on the VPU in int8 (exact: each output has exactly one nonzero term).
+    The reverse strand's length-dependent row permutation is folded into a
+    tiny static table s_rev[len, i] = s_comp[len-1-i] ([L+1, L, 5, 5] int8),
+    row-gathered per read by length — contiguous 25L-byte slices, unlike the
+    elementwise gathers this replaced. (An MXU one-hot-matmul formulation was
+    measured slower: LxL matrices pad catastrophically on the 128x128 array.)
     Rows at i >= len are unconstrained (the kernel masks them via `act`).
     """
     B = oriented.shape[0]
     fwd = oriented[:, 0, :]                                  # [B, L] int32
-    comp = jnp.where(fwd < 4, 3 - fwd, 4)
-    ohf = jax.nn.one_hot(fwd, 5, dtype=jnp.bfloat16)
-    ohc = jax.nn.one_hot(comp, 5, dtype=jnp.bfloat16)
-    sf = sprof.s_fwd[:L].astype(jnp.bfloat16)                # [L, 5, 5]
-    sc = sprof.s_comp[:L].astype(jnp.bfloat16)
-    rows_f = jnp.einsum("blc,lrc->blr", ohf, sf,
-                        preferred_element_type=jnp.float32)
-    a_c = jnp.einsum("blc,lrc->blr", ohc, sc,
-                     preferred_element_type=jnp.float32)
-    flip = flip_onehot(lengths, L)                           # [B, L, L] bf16
-    rows_r = jnp.einsum("biq,bqr->bir", flip, a_c.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
+    rc = oriented[:, 1, :]                                   # [B, L] int32
+    ohf = jax.nn.one_hot(fwd, 5, dtype=jnp.int8)             # [B, L, 5]
+    ohc = jax.nn.one_hot(rc, 5, dtype=jnp.int8)
+    sf8 = sprof.s_fwd[:L].astype(jnp.int8)                   # [L, 5, 5]
+    sc8 = sprof.s_comp[:L].astype(jnp.int8)
+    rows_f = jnp.sum(sf8[None] * ohf[:, :, None, :], axis=-1,
+                     dtype=jnp.int8)                         # [B, L, 5]
+    li = jnp.clip(jnp.arange(L + 1)[:, None] - 1 - jnp.arange(L)[None, :],
+                  0, L - 1)                                  # [L+1, L]
+    s_rev = sc8[li]                                          # [L+1, L, 5, 5]
+    a_r = s_rev[jnp.clip(lengths, 0, L)]                     # [B, L, 5, 5]
+    rows_r = jnp.sum(a_r * ohc[:, :, None, :], axis=-1, dtype=jnp.int8)
     rows = jnp.stack([rows_f, rows_r], axis=1)               # [B, 2, L, 5]
-    return rows.astype(jnp.int8).reshape(B * 2, L * 5).T     # [L*5, B2]
+    return rows.reshape(B * 2, L * 5).T                      # [L*5, B2]
 
 
 def _pairs_layout(oriented, lengths, cand_diag, didx, sprof, cfg, L):
@@ -244,6 +249,7 @@ def extend_candidates_pallas(oriented, lengths, cand_diag, didx: DeviceIndex,
     base2 = to_tile_order(base2)
     lr_pairs = to_tile_order(lr_pairs)
 
+    win_pad = ((L + BAND_PAD + BAND_PAD - 1) // BAND_PAD) * BAND_PAD
     kernel = functools.partial(_extend_kernel, L=L, band=band,
                                go=cfg.gap_open, ge=cfg.gap_extend,
                                tile_p=tile_p, n_words=n_words, c_rep=C, G=G)
@@ -263,6 +269,7 @@ def extend_candidates_pallas(oriented, lengths, cand_diag, didx: DeviceIndex,
         out_specs=pl.BlockSpec((4, tile_p), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, PT), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((win_pad, tile_p), jnp.int32)],
         interpret=interpret,
     )(refw, base2, rows5, lr_pairs)
 

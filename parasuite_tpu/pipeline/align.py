@@ -241,6 +241,34 @@ class AlignerEngine:
                 xa[b] = "XA:Z:" + ";".join(parts) + ";"
         return xa
 
+    def gapped_indel_counts(self, batch: ReadBatch, res, ins_counts,
+                            del_counts) -> int:
+        """Accumulate indel events from this batch's gapped alignments
+        (host tracebacks; <<1% of reads). Feeds ErrorProfile.ins/del_counts
+        during pass-1 inference. Returns the number of gapped reads used."""
+        from parasuite_tpu.errormodel.infer import count_indels_from_cigar
+
+        if not hasattr(res, "mapped"):
+            res = res[0]
+        mapped = np.asarray(res.mapped)
+        ug_eq = np.asarray(res.ug_equal)
+        strand = np.asarray(res.strand)
+        diag = np.asarray(res.diag)
+        n_gapped = 0
+        for b in range(batch.n_real):
+            if not mapped[b] or ug_eq[b]:
+                continue
+            ln = int(batch.lengths[b])
+            oriented = (batch.codes[b, :ln] if strand[b] == 0
+                        else revcomp_codes(batch.codes[b, :ln]))
+            _pos, cigar, _nm = host_traceback(
+                self.ref.seq, self.s_tensor, self.s_comp, self.cfg, oriented,
+                ln, int(strand[b]), int(diag[b]))
+            count_indels_from_cigar(cigar, ln, int(strand[b]), ins_counts,
+                                    del_counts)
+            n_gapped += 1
+        return n_gapped
+
     # --- one-call convenience ---
     def align_to_host(self, batch: ReadBatch) -> HostAlignments:
         return self.to_host(batch, self.align_device(batch.codes, batch.lengths))

@@ -40,6 +40,7 @@ class StreamCheckpoint:
         self.out_sam = Path(out_sam)
         self.manifest = Path(str(out_sam) + ".progress.json")
         self.counts_path = Path(str(out_sam) + ".counts.npy")
+        self.indels_path = Path(str(out_sam) + ".indels.npz")
         self.cfg_hash = _cfg_hash(cfg)
 
     def load(self) -> dict | None:
@@ -51,11 +52,18 @@ class StreamCheckpoint:
         return state
 
     def save(self, batches_done: int, records: int, complete: bool = False,
-             counts: np.ndarray | None = None, profiled: int = 0) -> None:
+             counts: np.ndarray | None = None, profiled: int = 0,
+             indels: tuple | None = None) -> None:
         if counts is not None:
             tmp = str(self.counts_path) + ".tmp.npy"  # np.save appends .npy
             np.save(tmp, counts)
             os.replace(tmp, self.counts_path)
+        if indels is not None:
+            ins, dels, n_gapped = indels
+            tmp = str(self.indels_path) + ".tmp.npz"
+            np.savez(tmp, ins=ins, dels=dels,
+                     n_gapped=np.int64(n_gapped))
+            os.replace(tmp, self.indels_path)
         tmp = str(self.manifest) + ".tmp"
         Path(tmp).write_text(json.dumps({
             "batches_done": batches_done, "records": records,
@@ -68,18 +76,30 @@ class StreamCheckpoint:
             return np.load(self.counts_path)
         return np.zeros(shape, dtype=np.int64)
 
+    def load_indels(self, L: int) -> tuple:
+        if self.indels_path.exists():
+            z = np.load(self.indels_path)
+            return (z["ins"].astype(np.int64), z["dels"].astype(np.int64),
+                    int(z["n_gapped"]))
+        return (np.zeros(L, dtype=np.int64), np.zeros(L, dtype=np.int64), 0)
+
 
 def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
                     with_profile_counts: bool = False, log=NULL_LOG,
                     write_header: bool = True, command_line: str = "",
                     stride_shards: int = 1, shard_index: int = 0,
-                    checkpoint_every: int = 1):
+                    checkpoint_every: int = 1, indel_out: dict | None = None):
     """Align a FASTQ stream to a SAM shard with resume support.
 
     Returns (n_records, counts int64 [L,4,4] or None, n_profiled). Batch
     boundaries are fixed by cfg.batch_size and the shard layout, so
-    restarting cannot change output bytes.
+    restarting cannot change output bytes. With profile counts enabled,
+    indel events from the gapped tracebacks (already computed for SAM
+    CIGARs) are accumulated too; pass indel_out={} to receive
+    {"ins", "dels", "n_gapped"} (SURVEY.md §2 component 3 indel rates).
     """
+    from parasuite_tpu.errormodel.infer import count_indels_from_cigar
+
     cfg = engine.cfg
     ckpt = StreamCheckpoint(out_sam, cfg)
     state = ckpt.load() if resume else None
@@ -89,8 +109,16 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
     counts = (ckpt.load_counts((cfg.max_read_len, 4, 4))
               if (with_profile_counts and state) else
               np.zeros((cfg.max_read_len, 4, 4), dtype=np.int64))
+    if with_profile_counts and state:
+        ins, dels, n_gapped = ckpt.load_indels(cfg.max_read_len)
+    else:
+        ins = np.zeros(cfg.max_read_len, dtype=np.int64)
+        dels = np.zeros(cfg.max_read_len, dtype=np.int64)
+        n_gapped = 0
     if state and state.get("complete"):
         log.event("align.skip", reason="already complete", records=n_records)
+        if indel_out is not None and with_profile_counts:
+            indel_out.update(ins=ins, dels=dels, n_gapped=n_gapped)
         return n_records, (counts if with_profile_counts else None), n_profiled
 
     mode = "a" if state else "w"
@@ -123,17 +151,30 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
                 n_profiled += int(np.asarray(
                     r0.mapped & r0.ug_equal & (batch.lengths > 0)).sum())
             host = engine.to_host(batch, res)
+            if with_profile_counts:
+                # indel events from the gapped CIGARs to_host already built
+                for b in range(batch.n_real):
+                    if host.mapped[b] and not host.ug_equal[b]:
+                        count_indels_from_cigar(
+                            host.cigars[b], int(batch.lengths[b]),
+                            int(host.strand[b]), ins, dels)
+                        n_gapped += 1
             engine.emit_sam(batch, host, writer)
             fh.flush()
             n_records += batch.n_real
             batch_idx += 1
             if (batch_idx - start_batch) % checkpoint_every == 0:
                 ckpt.save(batch_idx, n_records, profiled=n_profiled,
-                          counts=counts if with_profile_counts else None)
+                          counts=counts if with_profile_counts else None,
+                          indels=((ins, dels, n_gapped)
+                                  if with_profile_counts else None))
             log.event("align.batch", batch=batch_idx, reads=batch.n_real,
                       mapped=int(host.mapped[:batch.n_real].sum()),
                       records=n_records)
     ckpt.save(batch_idx, n_records, complete=True, profiled=n_profiled,
-              counts=counts if with_profile_counts else None)
+              counts=counts if with_profile_counts else None,
+              indels=(ins, dels, n_gapped) if with_profile_counts else None)
+    if indel_out is not None:
+        indel_out.update(ins=ins, dels=dels, n_gapped=n_gapped)
     log.event("align.done", records=n_records, batches=batch_idx)
     return n_records, (counts if with_profile_counts else None), n_profiled

@@ -23,16 +23,24 @@ from parasuite_tpu.pipeline.align import AlignerEngine
 
 def infer_profile_streaming(engine: AlignerEngine,
                             batches: Iterable[ReadBatch]) -> ErrorProfile:
-    """Pass 1: align with the current tensor, accumulate substitution counts."""
-    total = np.zeros((engine.cfg.max_read_len, 4, 4), dtype=np.int64)
+    """Pass 1: align with the current tensor, accumulate substitution counts
+    on device and indel counts from the rare gapped tracebacks on host."""
+    L = engine.cfg.max_read_len
+    total = np.zeros((L, 4, 4), dtype=np.int64)
+    ins = np.zeros(L, dtype=np.int64)
+    dels = np.zeros(L, dtype=np.int64)
     n_reads = 0
+    n_gapped = 0
     for batch in batches:
         res = engine.align_device(batch.codes, batch.lengths)
         counts = engine.profile_counts_device(batch.codes, batch.lengths, res)
+        n_gapped += engine.gapped_indel_counts(batch, res, ins, dels)
         total += np.asarray(counts, dtype=np.int64)
+        r = res if hasattr(res, "mapped") else res[0]
         n_reads += int(np.asarray(
-            res.mapped & res.ug_equal & (batch.lengths > 0)).sum())
-    return ErrorProfile(counts=total, n_reads=n_reads)
+            r.mapped & r.ug_equal & (batch.lengths > 0)).sum())
+    return ErrorProfile(counts=total, n_reads=n_reads, ins_counts=ins,
+                        del_counts=dels, n_gapped=n_gapped)
 
 
 def two_pass_align(engine: AlignerEngine,

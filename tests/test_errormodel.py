@@ -35,11 +35,69 @@ def test_complement_tensor_involution(small_cfg):
 def test_profile_roundtrip(tmp_path):
     rng = np.random.default_rng(5)
     counts = rng.integers(0, 1000, size=(30, 4, 4)).astype(np.int64)
-    p = ErrorProfile(counts=counts, n_reads=123)
+    ins = rng.integers(0, 9, size=30).astype(np.int64)
+    dels = rng.integers(0, 9, size=30).astype(np.int64)
+    p = ErrorProfile(counts=counts, n_reads=123, ins_counts=ins,
+                     del_counts=dels, n_gapped=7)
     p.save(tmp_path / "x.errorprofile")
     back = ErrorProfile.load(tmp_path / "x.errorprofile")
     np.testing.assert_array_equal(back.counts, counts)
+    np.testing.assert_array_equal(back.ins_counts, ins)
+    np.testing.assert_array_equal(back.del_counts, dels)
     assert back.n_reads == 123
+    assert back.n_gapped == 7
+
+
+def test_indel_counting_and_rates(small_cfg):
+    from parasuite_tpu.errormodel.infer import count_indels_from_cigar
+
+    L = 50
+    ins = np.zeros(L, dtype=np.int64)
+    dels = np.zeros(L, dtype=np.int64)
+    # forward: 10M 2I 38M -> inserted bases at machine cycles 10, 11
+    count_indels_from_cigar([("M", 10), ("I", 2), ("M", 38)], 50, 0, ins, dels)
+    assert ins[10] == 1 and ins[11] == 1 and ins.sum() == 2
+    # reverse: 5M 1D 45M -> deletion attributed to oriented offset 5 ->
+    # machine cycle 50-1-5 = 44
+    count_indels_from_cigar([("M", 5), ("D", 1), ("M", 45)], 50, 1, ins, dels)
+    assert dels[44] == 1 and dels.sum() == 1
+
+    counts = np.zeros((L, 4, 4), dtype=np.int64)
+    counts[:, 0, 0] = 98  # 98 ungapped reads' worth of A matches
+    p = ErrorProfile(counts=counts, n_reads=98, ins_counts=ins,
+                     del_counts=dels, n_gapped=2)
+    ir, dr = p.indel_rates()
+    assert abs(ir[10] - 1 / 100) < 1e-12
+    assert abs(dr[44] - 1 / 100) < 1e-12
+    go, ge = p.gap_penalties(small_cfg)
+    assert 1 <= ge <= go <= 127
+    # rarer indels must cost more
+    p2 = ErrorProfile(counts=counts * 100, n_reads=9800, ins_counts=ins,
+                      del_counts=dels, n_gapped=2)
+    go2, _ = p2.gap_penalties(small_cfg)
+    assert go2 > go
+
+
+def test_two_pass_collects_indels(tiny_ref, tiny_index, small_cfg):
+    """Streaming pass-1 inference picks up indel events from gapped reads."""
+    from parasuite_tpu.io.batch import ReadBatch
+    from parasuite_tpu.pipeline.align import AlignerEngine
+    from parasuite_tpu.pipeline.two_pass import infer_profile_streaming
+
+    rng = np.random.default_rng(77)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 32, 50, mutate=1)
+    # force deletions: drop base 20 from some reads (shift tail up, pad N)
+    for b in range(0, 32, 4):
+        codes[b, 20:-1] = codes[b, 21:]
+        codes[b, int(lengths[b]) - 1] = 4
+        lengths[b] -= 1
+    batch = ReadBatch(names=[f"r{i}" for i in range(32)], codes=codes,
+                      lengths=lengths,
+                      quals=[b"I" * int(l) for l in lengths])
+    engine = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    prof = infer_profile_streaming(engine, [batch])
+    assert prof.n_gapped > 0
+    assert prof.del_counts.sum() > 0
 
 
 def test_inference_recovers_tc_conversions(tiny_ref, tiny_index, small_cfg):
