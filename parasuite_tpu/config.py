@@ -65,6 +65,8 @@ class AlignConfig:
     seed: int = 0                    # PRNG seed for simulation
     extend_impl: str = "auto"        # extension stage: jnp | pallas | auto
                                      # (auto = pallas on TPU backends)
+    select_impl: str = "auto"        # candidate-select stage: jnp | pallas |
+                                     # auto (auto = pallas on TPU backends)
 
     def __post_init__(self) -> None:
         if self.chrom_spacer < self.max_read_len + 2 * self.band_width:

@@ -37,6 +37,7 @@ import numpy as np
 
 from parasuite_tpu.config import AlignConfig
 from parasuite_tpu.ops.device_index import DeviceIndex, ScoreParams
+from parasuite_tpu.ops.packed_ref import BASES_PER_WORD
 
 NEG = -(1 << 28)
 I32MAX = np.iinfo(np.int32).max
@@ -63,23 +64,62 @@ class AlignResult(NamedTuple):
 # stage 1: orientation
 # ---------------------------------------------------------------------------
 
+_COMP_XOR = sum(3 << (3 * g) for g in range(10))   # 0b011 per 3-bit group
+_NFILL = sum(7 << (3 * g) for g in range(10))      # all-groups-7 (N sentinel)
+_WMASK = (1 << 30) - 1
+
+
 def orient_reads(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """[B, L] machine-frame codes -> [B, 2, L] (forward, revcomp) views.
 
     Revcomp rows are N-padded past each read's true length, mirroring how
-    ReadBatch pads forward rows. (A one-hot flip-matrix MXU matmul was tried
-    and measured SLOWER than this single [B, L] gather: L=50-100 batched
-    matmuls pad catastrophically on the 128x128 systolic array.)
+    ReadBatch pads forward rows.
+
+    The variable-length reversal rc[i] = comp(fwd[len-1-i]) is computed
+    entirely in 3-bit-packed registers: pack 10 bases/int32 word, complement
+    by XOR 0b011 per group (maps ACGT correctly; N 100->111, fixed at
+    unpack), reverse groups with static shifts, then shift left by
+    (Lp - len) bases with a per-read VARIABLE funnel shift (vector shift
+    amounts are native VPU ops). Both a take_along_axis gather and a one-hot
+    flip matmul were measured at ~8ms/8192x50 batch on v5e — each hits a TPU
+    weak spot (element gathers / tiny-matmul MXU padding); this formulation
+    is pure vector ALU on [B, L/10] words.
     """
     c32 = codes.astype(jnp.int32)
-    L = codes.shape[1]
+    B, L = codes.shape
+    nw = (L + BASES_PER_WORD - 1) // BASES_PER_WORD
+    Lp = nw * BASES_PER_WORD
     i = jnp.arange(L)
-    rev_idx = jnp.clip(lengths[:, None] - 1 - i[None, :], 0, L - 1)
-    gathered = jnp.take_along_axis(c32, rev_idx, axis=1)
-    # complement arithmetically (3 - c for ACGT, N fixed) — a 5-entry table
-    # lookup here lowers to a second gather, which is slow on TPU
-    comp = jnp.where(gathered < 4, 3 - gathered, 4)
-    rc = jnp.where(i[None, :] < lengths[:, None], comp, 4)
+
+    cp = jnp.pad(c32, ((0, 0), (0, Lp - L)), constant_values=4)
+    shifts3 = (jnp.arange(BASES_PER_WORD, dtype=jnp.int32) * 3)
+    words = jnp.sum(cp.reshape(B, nw, BASES_PER_WORD) << shifts3[None, None],
+                    axis=2)                                   # [B, nw]
+    cw = words ^ _COMP_XOR
+    rw = jnp.zeros_like(cw)
+    for g in range(BASES_PER_WORD):                           # group reverse
+        rw = rw | (((cw >> (3 * g)) & 7) << (3 * (9 - g)))
+    rev = rw[:, ::-1]                                         # packed, base
+    #                                      rev_codes[j] = comp(cp[Lp-1-j])
+    # rc[i] = rev_codes[t + i] with t = Lp - len: variable funnel shift
+    t = Lp - lengths
+    tq = t // BASES_PER_WORD                                  # [B] word part
+    tr = (t - tq * BASES_PER_WORD) * 3                        # [B] bit part
+    nfill = jnp.full((B,), _NFILL, dtype=jnp.int32)
+    out_cols = []
+    for w in range(nw):
+        a = nfill
+        b = nfill
+        for q in range(nw + 1):
+            if w + q < nw:
+                a = jnp.where(tq == q, rev[:, w + q], a)
+            if w + q + 1 < nw:
+                b = jnp.where(tq == q, rev[:, w + q + 1], b)
+        out_cols.append(((a >> tr) | (b << (30 - tr))) & _WMASK)
+    ow = jnp.stack(out_cols, axis=1)                          # [B, nw]
+    exp = jnp.repeat(ow, BASES_PER_WORD, axis=1)[:, :L]       # static repeat
+    u = (exp >> ((i % BASES_PER_WORD) * 3)[None, :]) & 7
+    rc = jnp.where(i[None, :] < lengths[:, None], jnp.minimum(u, 4), 4)
     return jnp.stack([c32, rc], axis=1)
 
 
@@ -403,6 +443,18 @@ def resolve_extend_fn(cfg: AlignConfig):
     return extend_candidates
 
 
+def resolve_select_fn(cfg: AlignConfig):
+    """cfg.select_impl -> candidate-select implementation (trace-time)."""
+    impl = cfg.select_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas":
+        from parasuite_tpu.ops.pallas_seed import select_candidates_pallas
+
+        return select_candidates_pallas
+    return select_candidates
+
+
 def align_batch(didx: DeviceIndex, sprof: ScoreParams, codes: jnp.ndarray,
                 lengths: jnp.ndarray, min_scores: jnp.ndarray,
                 cfg: AlignConfig, extend_fn=None) -> AlignResult:
@@ -416,10 +468,9 @@ def align_batch(didx: DeviceIndex, sprof: ScoreParams, codes: jnp.ndarray,
         extend_fn = resolve_extend_fn(cfg)
     oriented = orient_reads(codes, lengths)
     diags = seed_diagonals(oriented, lengths, didx, cfg)
-    cand_diag, cand_valid = select_candidates(diags, cfg)
-    ext = extend_fn if extend_fn is not None else resolve_extend_fn(cfg)
-    dp_score, dp_j, ug_score, ug_j = ext(oriented, lengths, cand_diag,
-                                         didx, sprof, cfg)
+    cand_diag, cand_valid = resolve_select_fn(cfg)(diags, cfg)
+    dp_score, dp_j, ug_score, ug_j = extend_fn(oriented, lengths, cand_diag,
+                                               didx, sprof, cfg)
     return finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
                     dp_score, dp_j, ug_score, ug_j, didx, sprof, cfg)
 
@@ -431,7 +482,7 @@ def align_batch_with_candidates(didx: DeviceIndex, sprof: ScoreParams,
     """align_batch + the per-candidate table (combined-reference mode)."""
     oriented = orient_reads(codes, lengths)
     diags = seed_diagonals(oriented, lengths, didx, cfg)
-    cand_diag, cand_valid = select_candidates(diags, cfg)
+    cand_diag, cand_valid = resolve_select_fn(cfg)(diags, cfg)
     ext = extend_fn if extend_fn is not None else resolve_extend_fn(cfg)
     dp_score, dp_j, ug_score, ug_j = ext(oriented, lengths, cand_diag,
                                          didx, sprof, cfg)

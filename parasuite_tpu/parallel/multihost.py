@@ -48,12 +48,15 @@ def run_host_shard(engine, fastq, out_prefix, host_index: int, n_hosts: int,
                    log=NULL_LOG):
     """One host's work: align its round-robin batches to a headerless shard."""
     shard = shard_paths(out_prefix, n_hosts)[host_index]
+    indels: dict = {}
     n, counts, n_prof = streaming_align(
         engine, fastq, shard, resume=resume,
         with_profile_counts=with_profile_counts, log=log, write_header=False,
-        stride_shards=n_hosts, shard_index=host_index)
+        stride_shards=n_hosts, shard_index=host_index, indel_out=indels)
     if counts is not None:
         np.save(shard + ".counts.npy", counts)
+        np.savez(shard + ".indels.npz", ins=indels["ins"],
+                 dels=indels["dels"], n_gapped=np.int64(indels["n_gapped"]))
     Path(shard + ".done.json").write_text(json.dumps(
         {"records": n, "profiled": n_prof}))
     return n, counts, n_prof
@@ -68,8 +71,10 @@ def merge_host_outputs(ref, out_prefix, out_sam, n_hosts: int,
             raise RuntimeError(f"shard not finished: {s}")
     merge_shards(out_sam, shards, ref, command_line=command_line)
     total = None
+    ins = dels = None
     n_records = 0
     n_prof = 0
+    n_gapped = 0
     for s in shards:
         meta = json.loads(Path(s + ".done.json").read_text())
         n_records += meta["records"]
@@ -78,7 +83,14 @@ def merge_host_outputs(ref, out_prefix, out_sam, n_hosts: int,
         if cp.exists():
             c = np.load(cp)
             total = c if total is None else total + c
-    profile = (ErrorProfile(counts=total, n_reads=n_prof)
+        ip = Path(s + ".indels.npz")
+        if ip.exists():
+            z = np.load(ip)
+            ins = z["ins"] if ins is None else ins + z["ins"]
+            dels = z["dels"] if dels is None else dels + z["dels"]
+            n_gapped += int(z["n_gapped"])
+    profile = (ErrorProfile(counts=total, n_reads=n_prof, ins_counts=ins,
+                            del_counts=dels, n_gapped=n_gapped)
                if total is not None else None)
     if profile is not None and profile_out:
         profile.save(profile_out)

@@ -48,6 +48,35 @@ def _assert_extend_parity(didx, sprof, cfg, codes, lengths,
                                       err_msg=name)
 
 
+def _assert_select_parity(didx, cfg, codes, lengths, interpret=False):
+    from parasuite_tpu.ops.pallas_seed import select_candidates_pallas
+
+    oriented = orient_reads(codes, lengths)
+    diags = seed_diagonals(oriented, lengths, didx, cfg)
+    ref_cand, ref_valid = jax.jit(functools.partial(
+        select_candidates, cfg=cfg))(diags)
+    pal_cand, pal_valid = jax.jit(functools.partial(
+        select_candidates_pallas, cfg=cfg, interpret=interpret))(diags)
+    np.testing.assert_array_equal(np.asarray(pal_cand), np.asarray(ref_cand))
+    np.testing.assert_array_equal(np.asarray(pal_valid),
+                                  np.asarray(ref_valid))
+
+
+def test_select_parity_tiny_interpret():
+    """Candidate-select kernel vs lax.sort path, interpret mode."""
+    cfg = AlignConfig(max_read_len=24, kmer_size=6, max_seeds=4, max_occ=8,
+                      max_candidates=2, band_width=2, chrom_spacer=40)
+    rng = np.random.default_rng(501)
+    # small alphabet-biased reference -> many repeated k-mers -> vote ties
+    ref = PackedReference.from_dict(
+        {"c": (rng.integers(0, 4, 3000) % 3).astype(np.int8)}, spacer=40)
+    idx = KmerIndex.build(ref.seq, cfg.kmer_size)
+    didx = DeviceIndex.from_host(ref, idx)
+    codes, lengths, _ = sample_reads(rng, ref, 16, 24, mutate=2, indel=True)
+    lengths[3] = 0
+    _assert_select_parity(didx, cfg, codes, lengths, interpret=not ON_TPU)
+
+
 def test_extend_parity_tiny_interpret():
     """Miniature end-to-end kernel-vs-jnp check that runs anywhere."""
     cfg = AlignConfig(max_read_len=24, kmer_size=6, max_seeds=4, max_occ=8,
@@ -75,6 +104,14 @@ class TestOnTpu:
         didx = DeviceIndex.from_host(tiny_ref, tiny_index)
         s = flat_score_tensor(small_cfg, small_cfg.max_read_len)
         return didx, ScoreParams.from_tensor(s, small_cfg)
+
+    def test_select_parity_compiled(self, state, tiny_ref, small_cfg):
+        didx, _sprof = state
+        rng = np.random.default_rng(404)
+        codes, lengths, _ = sample_reads(rng, tiny_ref, 64, 50, mutate=3,
+                                         indel=True)
+        lengths[5] = 0
+        _assert_select_parity(didx, small_cfg, codes, lengths)
 
     def test_extend_parity_mixed(self, state, tiny_ref, small_cfg):
         didx, sprof = state
