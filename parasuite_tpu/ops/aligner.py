@@ -139,8 +139,19 @@ def seed_diagonals(oriented: jnp.ndarray, lengths: jnp.ndarray,
     reads2 = oriented.reshape(B * 2, L)
     len2 = jnp.repeat(lengths, 2)
     pow4 = jnp.asarray((4 ** np.arange(k - 1, -1, -1)).astype(np.int32))
-    n_pos = didx.positions.shape[0]
     j = jnp.arange(M)
+
+    # positions fetched as aligned 16-element ROW gathers (one row covers
+    # [lo & ~15, +16); ceil((15 + M) / 16) more rows cover any M-run) —
+    # measured ~3x faster per fetch than per-element gathers on v5e; the
+    # in-row realignment is a compare-chain select, pure VPU
+    rw = 16
+    n_pos = didx.positions.shape[0]
+    n_rows = 1 + (rw - 1 + M - 1) // rw
+    # n_rows spare rows: the r0 clip below can then never shift a legit lo
+    nr_pad = n_pos // rw + 1 + n_rows
+    p2 = jnp.pad(didx.positions, (0, nr_pad * rw - n_pos)).reshape(nr_pad, rw)
+
     chunks = []
     for s in range(S):
         off = s * k
@@ -152,8 +163,14 @@ def seed_diagonals(oriented: jnp.ndarray, lengths: jnp.ndarray,
         lo = didx.bucket_starts[code]
         cnt = didx.bucket_starts[code + 1] - lo
         ok = fits & (~has_n) & (cnt > 0) & (cnt <= M)
-        hit_idx = jnp.clip(lo[:, None] + j[None, :], 0, n_pos - 1)
-        pos = didx.positions[hit_idx]
+        r0 = jnp.clip(lo >> 4, 0, nr_pad - n_rows)
+        ridx = r0[None, :] + jnp.arange(n_rows)[:, None]
+        f = jnp.take(p2, ridx, axis=0)                 # [n_rows, B2, 16]
+        f = f.transpose(1, 0, 2).reshape(-1, n_rows * rw)  # [B2, n_rows*16]
+        q = (lo - (r0 << 4))[:, None] + j[None, :]     # in-fetch slot index
+        pos = jnp.zeros(q.shape, dtype=jnp.int32)
+        for t in range(n_rows * rw):
+            pos = jnp.where(q == t, f[:, t : t + 1], pos)
         valid = ok[:, None] & (j[None, :] < cnt[:, None])
         chunks.append(jnp.where(valid, pos - off, I32MAX))
     return jnp.concatenate(chunks, axis=1)

@@ -43,62 +43,75 @@ from parasuite_tpu.ops.device_index import DeviceIndex, ScoreParams
 from parasuite_tpu.ops.packed_ref import (BASES_PER_WORD, pack_reference,
                                           split_base)
 
-BAND_PAD = 16      # sublane tile for int32
+BAND_PAD = 16      # max band tile (sublane tile for int32 is 8)
 READS_PER_TILE = 128  # lane-aligned read block; tile_p = 128 * C
 
 
+def band_pad_for(band: int) -> int:
+    """DP row tile: 8 sublanes when the band fits (halves kernel compute
+    vs the 16-row tile), else 16. int32 sublane tile is 8."""
+    return 8 if band <= 8 else 16
+
+
 def _extend_kernel(refw_ref, base_ref, rows5_ref, lengths_ref,
-                   out_ref, codes_ref, *, L, band, go, ge, tile_p, n_words,
-                   c_rep, G):
+                   out_ref, codes_ref, *, L, band, bp, go, ge, tile_p,
+                   n_words, c_rep, G):
     """One tile:
-       refw     [n_words, TILE_P] int32 — 3-bit packed ref words per pair
-       base     [2, TILE_P] int32 — row 0: packed coord of band origin
-                (diag - W, for in-range masking); row 1: its in-word offset
+       refw     [2*ROW_W, TILE_P] int32 — two aligned 16-word rows of 3-bit
+                packed reference per pair (row-gather layout, _pairs_layout)
+       base     [3, TILE_P] int32 — packed coord of band origin (diag - W,
+                for in-range masking), its in-word offset, in-fetch word off
        rows5    [L*5, TILE_P // c_rep] int8 — per-read score rows
        lengths  [1, TILE_P] int32
        out      [4, TILE_P] int32 (dp_score, dp_j, ug_score, ug_j)
        codes    [WIN_PAD, TILE_P] int32 VMEM scratch — unpacked ref codes
     """
-    jrow = jax.lax.broadcasted_iota(jnp.int32, (BAND_PAD, tile_p), 0)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (bp, tile_p), 0)
     in_band = jrow < band
-    neg = jnp.full((BAND_PAD, tile_p), NEG, dtype=jnp.int32)
+    neg = jnp.full((bp, tile_p), NEG, dtype=jnp.int32)
     lr = lengths_ref[0:1, :]                     # [1, TILE_P]
     base = base_ref[0:1, :]                      # [1, TILE_P]
     base_r = base_ref[1:2, :]                    # [1, TILE_P]
+    off_w = base_ref[2:3, :]                     # [1, TILE_P] in-fetch word
 
     # --- unpack the whole ref window ONCE into scratch (the inner loop then
-    # reads static 16-row slices): codes[w, p] = ref[base + w], N=4 outside
-    # [0, G). Word row = (base_r + w) // 10 via a compare chain (rel <=
-    # n_words-1 for every row the DP actually reads); per-block cost is ~20
-    # vector ops vs ~12 PER DP STEP in the fused layout this replaced.
+    # reads static band-tile slices): codes[w, p] = ref[base + w], N=4
+    # outside [0, G). Word row = off_w + (base_r + w) // 10 (compare chain);
+    # refw holds TWO aligned 16-word rows, so the select spans
+    # off_w + rel <= 15 + n_words - 1 rows. Per-block cost is ~30 vector ops
+    # vs ~12 PER DP STEP in the fused layout this replaced.
     win_pad = codes_ref.shape[0]
-    for wb in range(0, win_pad, BAND_PAD):
-        x = base_r + wb + jrow                   # [BAND_PAD, TILE_P]
-        rel = jnp.zeros((BAND_PAD, tile_p), dtype=jnp.int32)
+    for wb in range(0, win_pad, bp):
+        x = base_r + wb + jrow                   # [bp, TILE_P]
+        rel = jnp.zeros((bp, tile_p), dtype=jnp.int32)
         for r in range(1, n_words):
             rel = rel + (x >= r * BASES_PER_WORD).astype(jnp.int32)
-        word = jnp.zeros((BAND_PAD, tile_p), dtype=jnp.int32)
-        for r in range(n_words):
-            word = jnp.where(rel == r, refw_ref[r : r + 1, :], word)
+        idx = off_w + rel
+        word = jnp.zeros((bp, tile_p), dtype=jnp.int32)
+        for r in range(ROW_W + n_words - 1):
+            word = jnp.where(idx == r, refw_ref[r : r + 1, :], word)
         xm = x - rel * BASES_PER_WORD
         code = (word >> (xm * 3)) & 7
         off = base + wb + jrow
         inr = (off >= 0) & (off < G)
-        codes_ref[wb : wb + BAND_PAD, :] = jnp.where(inr, code, 4)
+        codes_ref[wb : wb + bp, :] = jnp.where(inr, code, 4)
+
+    # lane-repeat the per-read score rows to per-pair width ONCE (one big
+    # pltpu.repeat instead of 5 per DP step)
+    rows_all = pltpu.repeat(rows5_ref[...], c_rep, axis=1)  # [L*5, TILE_P] i8
 
     m = neg
     ix = neg
     iy = neg
-    ug = jnp.zeros((BAND_PAD, tile_p), dtype=jnp.int32)
+    ug = jnp.zeros((bp, tile_p), dtype=jnp.int32)
 
     for i in range(L):
-        rb = codes_ref[i : i + BAND_PAD, :]      # ref[base + i + jrow]
+        rb = codes_ref[i : i + bp, :]      # ref[base + i + jrow]
 
         # --- sub[j, p] via 5-way select from lane-repeated score rows ---
-        sub = jnp.full((BAND_PAD, tile_p), NEG, dtype=jnp.int32)
+        sub = jnp.full((bp, tile_p), NEG, dtype=jnp.int32)
         for r in range(5):
-            row = rows5_ref[5 * i + r : 5 * i + r + 1, :].astype(jnp.int32)
-            row = pltpu.repeat(row, c_rep, axis=1)          # [1, TILE_P]
+            row = rows_all[5 * i + r : 5 * i + r + 1, :].astype(jnp.int32)
             sub = jnp.where(rb == r, row, sub)
         act = i < lr                             # [1, TILE_P]
         sub = jnp.where(act & in_band, sub, jnp.where(in_band, 0, NEG))
@@ -120,9 +133,11 @@ def _extend_kernel(refw_ref, base_ref, rows5_ref, lengths_ref,
         # A[u] = M[u] - go + u*ge, then shift down one row
         a = jnp.where(in_band, m_new - go + jrow * ge, NEG)
         cm = a
-        for shift in (1, 2, 4, 8):
+        shift = 1
+        while shift < bp:
             shifted = jnp.concatenate([neg[:shift], cm[:-shift]], axis=0)
             cm = jnp.maximum(cm, shifted)
+            shift *= 2
         iy_new = jnp.concatenate([neg[:1], (cm - jrow * ge)[:-1]], axis=0)
         iy_new = jnp.where(in_band, iy_new, NEG)
 
@@ -178,28 +193,43 @@ def build_score_rows(oriented, lengths, sprof: ScoreParams, L: int):
     return rows.reshape(B * 2, L * 5).T                      # [L*5, B2]
 
 
+ROW_W = 16  # packed words per gathered row (2 rows cover any window)
+
+
 def _pairs_layout(oriented, lengths, cand_diag, didx, sprof, cfg, L):
-    """XLA-side preparation: packed ref word windows + per-read score tables."""
+    """XLA-side preparation: packed ref word windows + per-read score tables.
+
+    The window fetch is TWO aligned 16-word ROW gathers per pair from the
+    packed table reshaped [NW/16, 16] — measured ~3x faster per fetch than
+    per-word element gathers on v5e (row vs element gather micro, DESIGN.md);
+    the in-row offset is realigned inside the kernel's unpack select chain.
+    """
     B = oriented.shape[0]
     C = cand_diag.shape[1]
     W = cfg.band_width
     G = didx.ref_seq.shape[0]
     B2 = B * 2
     P = B2 * C
-    # rows covering in-word offsets up to 9 + (L-1) + (BAND_PAD-1)
+    # words the DP actually reads: in-word offsets up to 9 + (L-1) + (BP-1)
     n_words = (L + BAND_PAD + BASES_PER_WORD - 1) // BASES_PER_WORD + 1
 
     words = pack_reference(didx.ref_seq)
     nw_tot = words.shape[0]
+    # one SPARE row beyond the last data row so r0+1 never clips for any
+    # in-range window; clipped (out-of-range) windows are garbage-masked by
+    # the kernel's absolute position check
+    nw_pad = (nw_tot // ROW_W + 2) * ROW_W
+    w2 = jnp.pad(words, (0, nw_pad - nw_tot)).reshape(nw_pad // ROW_W, ROW_W)
     diag = jnp.clip(cand_diag, -(L + BAND_PAD + 1), G).reshape(P)
     base = diag - W
     base_q, base_r = split_base(base)
-    r = jnp.arange(n_words)
-    widx = jnp.clip(base_q[None, :] + r[:, None], 0, nw_tot - 1)
-    refw = words[widx]                                       # [n_words, P]
+    r0 = jnp.clip(base_q >> 4, 0, nw_pad // ROW_W - 2)
+    rows = jnp.take(w2, jnp.stack([r0, r0 + 1]), axis=0)     # [2, P, 16]
+    refw = rows.transpose(0, 2, 1).reshape(2 * ROW_W, P)     # [32, P]
+    off_w = base_q - (r0 << 4)   # in-fetch word offset (0..15 when legit)
 
     rows5 = build_score_rows(oriented, lengths, sprof, L)    # [L*5, B2]
-    base2 = jnp.stack([base, base_r]).astype(jnp.int32)      # [2, P]
+    base2 = jnp.stack([base, base_r, off_w]).astype(jnp.int32)  # [3, P]
     len2 = jnp.repeat(lengths, 2)
     lr_pairs = jnp.repeat(len2, C)[None, :].astype(jnp.int32)  # [1, P]
     return refw, base2, rows5, lr_pairs, P, n_words
@@ -215,6 +245,7 @@ def extend_candidates_pallas(oriented, lengths, cand_diag, didx: DeviceIndex,
     band = cfg.band
     if band > BAND_PAD:
         raise ValueError(f"band {band} exceeds kernel BAND_PAD {BAND_PAD}")
+    bp = band_pad_for(band)
     G = didx.ref_seq.shape[0]
     tile_p = READS_PER_TILE * C
 
@@ -249,17 +280,17 @@ def extend_candidates_pallas(oriented, lengths, cand_diag, didx: DeviceIndex,
     base2 = to_tile_order(base2)
     lr_pairs = to_tile_order(lr_pairs)
 
-    win_pad = ((L + BAND_PAD + BAND_PAD - 1) // BAND_PAD) * BAND_PAD
-    kernel = functools.partial(_extend_kernel, L=L, band=band,
+    win_pad = ((L + bp + bp - 1) // bp) * bp
+    kernel = functools.partial(_extend_kernel, L=L, band=band, bp=bp,
                                go=cfg.gap_open, ge=cfg.gap_extend,
                                tile_p=tile_p, n_words=n_words, c_rep=C, G=G)
     out = pl.pallas_call(
         kernel,
         grid=(PT // tile_p,),
         in_specs=[
-            pl.BlockSpec((n_words, tile_p), lambda g: (0, g),
+            pl.BlockSpec((2 * ROW_W, tile_p), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile_p), lambda g: (0, g),
+            pl.BlockSpec((3, tile_p), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L * 5, READS_PER_TILE), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
