@@ -282,7 +282,8 @@ def cmd_merge_shards(args) -> int:
     n, profile = merge_host_outputs(
         ref, args.out_prefix, args.out, args.n_hosts,
         profile_out=args.profile_out,
-        command_line=" ".join(sys.argv[1:]))
+        command_line=args.pg_cl if args.pg_cl is not None
+        else " ".join(sys.argv[1:]))
     print(json.dumps({"tool": "merge-shards", "records": n,
                       "profiled": profile.n_reads if profile else 0}))
     return 0
@@ -381,6 +382,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("out")
     p.add_argument("--n-hosts", dest="n_hosts", type=int, required=True)
     p.add_argument("--profile-out", dest="profile_out")
+    p.add_argument("--pg-cl", dest="pg_cl", default=None,
+                   help="override the @PG CL: value (pin it so merges at "
+                   "different host counts are byte-identical)")
     _add_cfg_flags(p)
     p.set_defaults(fn=cmd_merge_shards)
 

@@ -209,7 +209,10 @@ def merge_shards(out_path, shard_paths: list, ref: PackedReference,
 
     Shards are written headerless by the distributed pipeline; ordering by
     shard index (not arrival) is what makes output identical at any host
-    count (SURVEY.md §4.5 determinism tests).
+    count (SURVEY.md §4.5 determinism tests). NOTE: whole-body concatenation
+    only reproduces single-host record ORDER when each shard holds a
+    contiguous record range; the round-robin batch layout needs
+    merge_shards_interleaved instead.
     """
     with open(out_path, "w") as out:
         out.write(sam_header(ref, command_line=command_line))
@@ -218,3 +221,59 @@ def merge_shards(out_path, shard_paths: list, ref: PackedReference,
                 for line in fh:
                     if not line.startswith("@"):
                         out.write(line)
+
+
+def merge_shards_interleaved(out_path, shard_paths: list,
+                             batch_records: list, ref: PackedReference,
+                             command_line: str = "") -> int:
+    """Merge round-robin batch shards back into global record order.
+
+    batch_records[h] = records emitted per LOCAL batch on shard h. Global
+    batch g lives on shard g % H as local batch g // H (io.fastq round-robin
+    layout), so emitting batches in ascending global index reproduces the
+    single-host byte stream exactly — the SURVEY.md §4.5 determinism
+    property ("same reads, any shard count -> identical SAM bytes").
+    Returns the merged record count.
+    """
+    H = len(shard_paths)
+    counts = [list(map(int, c)) for c in batch_records]
+    if len(counts) != H:
+        raise ValueError("batch_records must have one list per shard")
+    n_batches = [len(c) for c in counts]
+    total_batches = sum(n_batches)
+    n_out = 0
+    handles = [open(sp, "rb") for sp in shard_paths]
+    try:
+        with open(out_path, "wb") as out:
+            out.write(sam_header(ref, command_line=command_line)
+                      .encode("ascii"))
+            g = 0
+            emitted = 0
+            while emitted < total_batches:
+                h = g % H
+                local = g // H
+                g += 1
+                if local >= n_batches[h]:
+                    continue
+                emitted += 1
+                fh = handles[h]
+                for _ in range(counts[h][local]):
+                    line = fh.readline()
+                    while line.startswith(b"@"):  # defensive: skip headers
+                        line = fh.readline()
+                    if not line:
+                        raise RuntimeError(
+                            f"shard {shard_paths[h]} shorter than its "
+                            "manifest batch_records")
+                    out.write(line)
+                    n_out += 1
+            for h, fh in enumerate(handles):
+                rest = fh.read()
+                if rest.strip():
+                    raise RuntimeError(
+                        f"shard {shard_paths[h]} has records beyond its "
+                        "manifest batch_records")
+    finally:
+        for fh in handles:
+            fh.close()
+    return n_out

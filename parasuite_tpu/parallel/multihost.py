@@ -6,10 +6,12 @@ against its replicated (or chromosome-sharded) index, writes a HEADERLESS
 per-host SAM shard, and accumulates its int64 profile count matrix. Merging
 is then:
 
-  * SAM: header + shard bodies concatenated in host order — SAM text never
-    crosses the network, and the merged bytes are identical at any host
-    count because batch->host assignment is a pure function of the record
-    index (determinism tests SURVEY.md §4.5);
+  * SAM: header + shard bodies interleaved by GLOBAL batch index (global
+    batch g = shard g % H, local batch g // H) — SAM text never crosses the
+    network, and the merged bytes are byte-identical at any host count
+    because batch->host assignment is a pure function of the record index
+    and the merge restores global batch order (determinism tests
+    SURVEY.md §4.5, enforced byte-exactly by tests/test_multihost.py);
   * profile counts: an integer matrix sum (the psum equivalent when run
     outside a jax.distributed pod; on a real pod parallel.dist_align does it
     in-step over DCN);
@@ -34,8 +36,8 @@ import numpy as np
 
 from parasuite_tpu.config import AlignConfig
 from parasuite_tpu.errormodel.infer import ErrorProfile
-from parasuite_tpu.io.sam import merge_shards
-from parasuite_tpu.pipeline.stream import streaming_align
+from parasuite_tpu.io.sam import merge_shards_interleaved
+from parasuite_tpu.pipeline.stream import StreamCheckpoint, streaming_align
 from parasuite_tpu.utils.runlog import NULL_LOG
 
 
@@ -57,8 +59,12 @@ def run_host_shard(engine, fastq, out_prefix, host_index: int, n_hosts: int,
         np.save(shard + ".counts.npy", counts)
         np.savez(shard + ".indels.npz", ins=indels["ins"],
                  dels=indels["dels"], n_gapped=np.int64(indels["n_gapped"]))
+    # per-local-batch record counts (from the stream manifest) let the merge
+    # interleave shards by GLOBAL batch index -> byte-identical merged SAM
+    state = StreamCheckpoint(shard, engine.cfg).load() or {}
     Path(shard + ".done.json").write_text(json.dumps(
-        {"records": n, "profiled": n_prof}))
+        {"records": n, "profiled": n_prof,
+         "batch_records": state.get("batch_records", [])}))
     return n, counts, n_prof
 
 
@@ -66,17 +72,20 @@ def merge_host_outputs(ref, out_prefix, out_sam, n_hosts: int,
                        profile_out=None, command_line: str = ""):
     """Deterministic merge of all host shards -> (n_records, ErrorProfile)."""
     shards = shard_paths(out_prefix, n_hosts)
+    metas = []
     for s in shards:
         if not Path(s + ".done.json").exists():
             raise RuntimeError(f"shard not finished: {s}")
-    merge_shards(out_sam, shards, ref, command_line=command_line)
+        metas.append(json.loads(Path(s + ".done.json").read_text()))
+    merge_shards_interleaved(out_sam, shards,
+                             [m["batch_records"] for m in metas], ref,
+                             command_line=command_line)
     total = None
     ins = dels = None
     n_records = 0
     n_prof = 0
     n_gapped = 0
-    for s in shards:
-        meta = json.loads(Path(s + ".done.json").read_text())
+    for s, meta in zip(shards, metas):
         n_records += meta["records"]
         n_prof += meta.get("profiled", 0)
         cp = Path(s + ".counts.npy")

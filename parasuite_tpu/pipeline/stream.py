@@ -8,12 +8,20 @@ so a host failure reruns only unfinished batches. No elastic resharding: this
 is a bounded batch job (SURVEY.md §5), restartability is per (shard, batch).
 
 Layout next to the output SAM shard:
-    <out>.progress.json   {batches_done, records, cfg_hash, complete}
+    <out>.progress.json   {batches_done, records, batch_records, sam_bytes,
+                           cfg_hash, complete}
     <out>.counts.npy      partial int64 [L, 4, 4] (profile passes only)
 
 Determinism note: a resumed run produces byte-identical output to an
 uninterrupted one because batch boundaries are fixed by (batch_size,
-shard layout), never by timing.
+shard layout), never by timing. Crash safety: `sam_bytes` records the
+committed byte offset of the SAM file at checkpoint time; on resume the
+file is truncated back to it, so a crash landing between a record flush
+and the manifest save (file ahead of manifest) cannot duplicate records.
+`batch_records` (records emitted per local batch) is what lets the
+multi-host merge interleave shard bodies by GLOBAL batch index — the
+property that makes merged SAM bytes identical at any host count
+(SURVEY.md §4.5).
 """
 
 from __future__ import annotations
@@ -49,11 +57,14 @@ class StreamCheckpoint:
         state = json.loads(self.manifest.read_text())
         if state.get("cfg_hash") != self.cfg_hash:
             return None  # config changed: restart from scratch
+        if "sam_bytes" not in state or "batch_records" not in state:
+            return None  # pre-v2 manifest: no committed offset -> restart
         return state
 
     def save(self, batches_done: int, records: int, complete: bool = False,
              counts: np.ndarray | None = None, profiled: int = 0,
-             indels: tuple | None = None) -> None:
+             indels: tuple | None = None, sam_bytes: int = 0,
+             batch_records: list | None = None) -> None:
         if counts is not None:
             tmp = str(self.counts_path) + ".tmp.npy"  # np.save appends .npy
             np.save(tmp, counts)
@@ -68,6 +79,8 @@ class StreamCheckpoint:
         Path(tmp).write_text(json.dumps({
             "batches_done": batches_done, "records": records,
             "profiled": profiled, "cfg_hash": self.cfg_hash,
+            "sam_bytes": sam_bytes,
+            "batch_records": batch_records if batch_records is not None else [],
             "complete": complete}))
         os.replace(tmp, self.manifest)
 
@@ -103,9 +116,13 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
     cfg = engine.cfg
     ckpt = StreamCheckpoint(out_sam, cfg)
     state = ckpt.load() if resume else None
+    if state is not None and not Path(out_sam).exists():
+        state = None  # manifest without its SAM: restart
     start_batch = state["batches_done"] if state else 0
     n_records = state["records"] if state else 0
     n_profiled = state.get("profiled", 0) if state else 0
+    batch_records: list = (list(state["batch_records"][:start_batch])
+                           if state else [])
     counts = (ckpt.load_counts((cfg.max_read_len, 4, 4))
               if (with_profile_counts and state) else
               np.zeros((cfg.max_read_len, 4, 4), dtype=np.int64))
@@ -121,17 +138,26 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
             indel_out.update(ins=ins, dels=dels, n_gapped=n_gapped)
         return n_records, (counts if with_profile_counts else None), n_profiled
 
-    mode = "a" if state else "w"
+    # binary mode: fh.tell() is an exact byte offset (the committed-offset
+    # crash-safety contract needs real bytes, not text-mode cookies)
+    mode = "r+b" if state else "wb"
     with open(out_sam, mode) as fh:
-        if not state and write_header:
-            fh.write(sam_header(engine.sam_ref, command_line=command_line))
+        if state:
+            # crash window: records may have been flushed AFTER the last
+            # manifest save -> truncate back to the committed offset so a
+            # re-emitted batch cannot duplicate records
+            fh.truncate(state["sam_bytes"])
+            fh.seek(state["sam_bytes"])
+        elif write_header:
+            fh.write(sam_header(engine.sam_ref,
+                                command_line=command_line).encode("ascii"))
 
         class _FhWriter:
             def write(self, line):
-                fh.write(line + "\n")
+                fh.write(line.encode("ascii") + b"\n")
 
             def write_block(self, text):
-                fh.write(text)
+                fh.write(text.encode("ascii"))
 
         writer = _FhWriter()
         batch_idx = 0
@@ -162,18 +188,22 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
             engine.emit_sam(batch, host, writer)
             fh.flush()
             n_records += batch.n_real
+            batch_records.append(batch.n_real)
             batch_idx += 1
             if (batch_idx - start_batch) % checkpoint_every == 0:
                 ckpt.save(batch_idx, n_records, profiled=n_profiled,
                           counts=counts if with_profile_counts else None,
                           indels=((ins, dels, n_gapped)
-                                  if with_profile_counts else None))
+                                  if with_profile_counts else None),
+                          sam_bytes=fh.tell(), batch_records=batch_records)
             log.event("align.batch", batch=batch_idx, reads=batch.n_real,
                       mapped=int(host.mapped[:batch.n_real].sum()),
                       records=n_records)
+        final_bytes = fh.tell()
     ckpt.save(batch_idx, n_records, complete=True, profiled=n_profiled,
               counts=counts if with_profile_counts else None,
-              indels=(ins, dels, n_gapped) if with_profile_counts else None)
+              indels=(ins, dels, n_gapped) if with_profile_counts else None,
+              sam_bytes=final_bytes, batch_records=batch_records)
     if indel_out is not None:
         indel_out.update(ins=ins, dels=dels, n_gapped=n_gapped)
     log.event("align.done", records=n_records, batches=batch_idx)

@@ -45,43 +45,48 @@ def workdir(tmp_path_factory, tiny_ref, small_cfg):
     return d
 
 
-def test_multihost_merge_matches_single(workdir):
-    d = workdir
-    # single host
-    _cli("dist-align", d / "idx", d / "reads.fastq", d / "one",
-         "--host-index", "0", "--n-hosts", "1", *CFG_FLAGS, cwd=d)
-    _cli("merge-shards", d / "idx", d / "one", d / "one.sam", "--n-hosts",
-         "1", "--profile-out", d / "one.errorprofile", *CFG_FLAGS, cwd=d)
+def _run_hosts(d, tag: str, n_hosts: int) -> None:
+    """dist-align each host shard (real subprocesses), then merge.
 
-    # three hosts as real subprocesses
+    --pg-cl pins the @PG CL: line so merges at different host counts can be
+    compared as raw bytes (the determinism property under test)."""
     import concurrent.futures as cf
 
-    with cf.ThreadPoolExecutor(3) as ex:
+    with cf.ThreadPoolExecutor(n_hosts) as ex:
         futs = [ex.submit(_cli, "dist-align", d / "idx", d / "reads.fastq",
-                          d / "three", "--host-index", str(h), "--n-hosts",
-                          "3", *CFG_FLAGS, cwd=d) for h in range(3)]
+                          d / tag, "--host-index", str(h), "--n-hosts",
+                          str(n_hosts), *CFG_FLAGS, cwd=d)
+                for h in range(n_hosts)]
         outs = [f.result() for f in futs]
     assert sum(o["records"] for o in outs) == 200
-    _cli("merge-shards", d / "idx", d / "three", d / "three.sam", "--n-hosts",
-         "3", "--profile-out", d / "three.errorprofile", *CFG_FLAGS, cwd=d)
+    _cli("merge-shards", d / "idx", d / tag, d / f"{tag}.sam", "--n-hosts",
+         str(n_hosts), "--profile-out", d / f"{tag}.errorprofile",
+         "--pg-cl", "merge", *CFG_FLAGS, cwd=d)
 
-    one = (d / "one.sam").read_text()
-    three = (d / "three.sam").read_text()
-    # same set of records; order differs only by the documented round-robin
-    # interleave -> compare sorted record lines and exact header
-    h1 = [l for l in one.splitlines() if l.startswith("@")]
-    h3 = [l for l in three.splitlines() if l.startswith("@")]
-    assert [l for l in h1 if not l.startswith("@PG")] == \
-           [l for l in h3 if not l.startswith("@PG")]
-    r1 = sorted(l for l in one.splitlines() if not l.startswith("@"))
-    r3 = sorted(l for l in three.splitlines() if not l.startswith("@"))
-    assert r1 == r3 and len(r1) == 200
+
+def test_multihost_merge_matches_single(workdir):
+    """SURVEY.md §4.5 determinism: same reads, ANY host count -> byte
+    -identical merged SAM (1 vs 3 vs 5 hosts; 200 reads / batch 32 = 7
+    batches, so both multi-host layouts are uneven round-robins)."""
+    d = workdir
+    _run_hosts(d, "one", 1)
+    _run_hosts(d, "three", 3)
+    _run_hosts(d, "five", 5)
+
+    one = (d / "one.sam").read_bytes()
+    three = (d / "three.sam").read_bytes()
+    five = (d / "five.sam").read_bytes()
+    assert one == three
+    assert one == five
+    n_rec = sum(1 for l in one.splitlines() if not l.startswith(b"@"))
+    assert n_rec == 200
 
     # profile counts identical (order-free integer adds)
     p1 = ErrorProfile.load(d / "one.errorprofile")
-    p3 = ErrorProfile.load(d / "three.errorprofile")
-    np.testing.assert_array_equal(p1.counts, p3.counts)
-    assert p1.n_reads == p3.n_reads
+    for tag in ("three", "five"):
+        p = ErrorProfile.load(d / f"{tag}.errorprofile")
+        np.testing.assert_array_equal(p1.counts, p.counts)
+        assert p1.n_reads == p.n_reads
 
 
 def test_merge_refuses_incomplete_shards(workdir, tmp_path):

@@ -47,24 +47,33 @@ def test_streaming_align_basic(engine, fastq, tmp_path):
     assert sum(1 for e in events if e["stage"] == "align.batch") == 4  # 100/32
 
 
-def test_resume_produces_identical_bytes(engine, fastq, tmp_path):
+@pytest.mark.parametrize("crash", ["exact", "ahead"])
+def test_resume_produces_identical_bytes(engine, fastq, tmp_path, crash):
+    """Two crash shapes (VERDICT r1 item 4):
+
+    * "exact"  — SAM file truncated exactly at the checkpoint (convenient)
+    * "ahead"  — records were flushed AFTER the last manifest save, so the
+      file is ahead of the manifest; resume must truncate back to the
+      committed `sam_bytes` offset or those records duplicate.
+    """
     full = tmp_path / "full.sam"
     streaming_align(engine, fastq, full, with_profile_counts=True)
 
-    # simulate a crash: run 2 of 4 batches, fake the checkpoint back to 2
-    part = tmp_path / "part.sam"
+    # simulate a crash: run all 4 batches, rewind the checkpoint to batch 2
+    part = tmp_path / f"part_{crash}.sam"
     streaming_align(engine, fastq, part, with_profile_counts=True)
-    # rewind: truncate SAM after batch 2 and rewrite manifest
-    lines = part.read_text().splitlines(keepends=True)
-    header = [l for l in lines if l.startswith("@")]
-    body = [l for l in lines if not l.startswith("@")]
-    part.write_text("".join(header + body[:64]))
+    lines = part.read_bytes().splitlines(keepends=True)
+    header = [l for l in lines if l.startswith(b"@")]
+    body = [l for l in lines if not l.startswith(b"@")]
+    committed = b"".join(header + body[:64])
+    if crash == "exact":
+        part.write_bytes(committed)
+    # "ahead": leave the whole file on disk — flushed past the manifest
     ckpt = StreamCheckpoint(part, engine.cfg)
-    counts_partial = np.load(str(part) + ".counts.npy")  # full counts...
     # recompute partial counts for first 2 batches honestly
     from parasuite_tpu.io.fastq import iter_fastq_batches
 
-    counts2 = np.zeros_like(counts_partial)
+    counts2 = np.zeros((engine.cfg.max_read_len, 4, 4), dtype=np.int64)
     n_prof2 = 0
     for bi, batch in enumerate(iter_fastq_batches(fastq, 32, 50)):
         if bi >= 2:
@@ -74,14 +83,33 @@ def test_resume_produces_identical_bytes(engine, fastq, tmp_path):
             batch.codes, batch.lengths, res), dtype=np.int64)
         n_prof2 += int(np.asarray(res.mapped & res.ug_equal
                                   & (batch.lengths > 0)).sum())
-    ckpt.save(2, 64, counts=counts2, profiled=n_prof2)
+    ckpt.save(2, 64, counts=counts2, profiled=n_prof2,
+              sam_bytes=len(committed), batch_records=[32, 32])
 
     n, counts, n_prof = streaming_align(engine, fastq, part, resume=True,
                                         with_profile_counts=True)
     assert n == 100
-    assert part.read_text() == full.read_text()
+    assert part.read_bytes() == full.read_bytes()
     np.testing.assert_array_equal(counts,
                                   np.load(str(full) + ".counts.npy"))
+
+
+def test_resume_ignores_pre_v2_manifest(engine, fastq, tmp_path):
+    """A manifest without the committed-offset fields must trigger a clean
+    restart, never a bad truncate."""
+    import json
+
+    out = tmp_path / "old.sam"
+    streaming_align(engine, fastq, out)
+    state = json.loads((tmp_path / "old.sam.progress.json").read_text())
+    before = out.read_bytes()
+    del state["sam_bytes"], state["batch_records"]
+    state["complete"] = False
+    state["batches_done"] = 2
+    (tmp_path / "old.sam.progress.json").write_text(json.dumps(state))
+    n, _, _ = streaming_align(engine, fastq, out, resume=True)
+    assert n == 100
+    assert out.read_bytes() == before
 
 
 def test_resume_completed_run_is_noop(engine, fastq, tmp_path):
