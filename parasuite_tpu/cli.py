@@ -219,7 +219,9 @@ def cmd_benchmark(args) -> int:
 def cmd_cluster(args) -> int:
     from parasuite_tpu.index import PackedReference
     from parasuite_tpu.io.sam import cigar_ref_span, read_sam
-    from parasuite_tpu.pipeline.clusters import call_clusters, write_clusters
+    from parasuite_tpu.pipeline.clusters import (call_clusters,
+                                                 tc_count_from_cigar,
+                                                 write_clusters)
     from parasuite_tpu.utils.dna import encode_seq
 
     cfg = _cfg_from_args(args)
@@ -233,13 +235,11 @@ def cmd_cluster(args) -> int:
         ci = name_to_idx[r["rname"]]
         packed = int(ref.starts[ci]) + r["pos"] - 1
         span = cigar_ref_span(r["cigar"])
-        # machine-frame T->C: fwd = (ref T, seq C); rev = (ref A, seq G)
+        # SAM SEQ is genome-oriented; walk the CIGAR so I/D/N (gapped and
+        # junction records) keep the machine-frame T->C comparison in frame
         seq = encode_seq(r["seq"])
-        rb = ref.seq[packed : packed + len(seq)]
-        if r["flag"] & 0x10:
-            tc = int(np.sum((rb[: len(seq)] == 0) & (seq == 2)))
-        else:
-            tc = int(np.sum((rb[: len(seq)] == 3) & (seq == 1)))
+        tc = tc_count_from_cigar(ref.seq, packed, seq,
+                                 1 if r["flag"] & 0x10 else 0, r["cigar"])
         pos_l.append(packed)
         span_l.append(span)
         tc_l.append(tc)

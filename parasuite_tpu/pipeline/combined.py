@@ -433,26 +433,12 @@ class CombinedEngine:
             out_ug[b] = (len(cigar) == 1 and cigar[0][0] == "M")
             out_cigars.append(cigar)
             # machine-frame T->C over M segments (for cluster statistics)
+            from parasuite_tpu.pipeline.clusters import tc_count_from_cigar
             st = best[1]
             oriented = (batch.codes[b, :ln] if st == 0
                         else _rc(batch.codes[b, :ln]))
-            tc = 0
-            ri, qi = best[3], 0
-            for op, oln in cigar:
-                if op == "M":
-                    rb = self.genome_ref.seq[ri : ri + oln]
-                    cb = oriented[qi : qi + oln]
-                    if st == 0:
-                        tc += int(np.sum((rb == 3) & (cb == 1)))
-                    else:
-                        tc += int(np.sum((rb == 0) & (cb == 2)))
-                    ri += oln
-                    qi += oln
-                elif op == "I":
-                    qi += oln
-                elif op in ("D", "N"):
-                    ri += oln
-            out_tc[b] = tc
+            out_tc[b] = tc_count_from_cigar(self.genome_ref.seq, best[3],
+                                            oriented, st, cigar)
 
         return HostAlignments(mapped=out_mapped, strand=out_strand,
                               pos=out_pos, score=out_score, mapq=out_mapq,

@@ -96,3 +96,9 @@ def test_cli_combined(workdir):
     assert all(not r[2].startswith("tx::") for r in mapped)
     # at least one junction CIGAR from reads simulated inside transcripts
     assert any("N" in r[5] for r in mapped)
+
+    # cluster recount walks junction/gapped CIGARs (genome-coordinate SAM
+    # against the genome-only index)
+    out = run_cli("cluster", d / "idx", d / "cout.sam", d / "cclusters.tsv",
+                  "--cluster-min-reads", "1", *CFG_FLAGS, cwd=d)
+    assert out["alignments"] == len(mapped)
