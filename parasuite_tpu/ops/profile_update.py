@@ -12,12 +12,15 @@ multi-host runs psum the [L, 4, 4] matrix (BASELINE.json:north_star).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from parasuite_tpu.config import AlignConfig
 from parasuite_tpu.ops.aligner import orient_reads  # noqa: F401  (re-export convenience)
 from parasuite_tpu.ops.device_index import DeviceIndex
 
-_COMP = jnp.asarray([3, 2, 1, 0, 4], dtype=jnp.int32)
+# numpy (not jnp): a module-level device constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize()
+_COMP = np.asarray([3, 2, 1, 0, 4], dtype=np.int32)
 
 
 def profile_counts_batch(didx: DeviceIndex, codes: jnp.ndarray,
@@ -42,7 +45,7 @@ def profile_counts_batch(didx: DeviceIndex, codes: jnp.ndarray,
     ridx = pos[:, None] + off
     ok_idx = (ridx >= 0) & (ridx < G)
     rb = jnp.where(ok_idx, didx.ref_seq[jnp.clip(ridx, 0, G - 1)], 4).astype(jnp.int32)
-    rb = jnp.where(strand[:, None] == 1, _COMP[rb], rb)
+    rb = jnp.where(strand[:, None] == 1, jnp.asarray(_COMP)[rb], rb)
     cb = codes.astype(jnp.int32)
 
     valid = (use[:, None] & (i[None, :] < lengths[:, None])

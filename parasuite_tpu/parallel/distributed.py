@@ -1,0 +1,175 @@
+"""Real multi-process execution: jax.distributed + in-step DCN collectives.
+
+SURVEY.md §4.4 prescribes "N local processes, jax.distributed.initialize with
+local coordinator" as the 2-host test vehicle; BASELINE.json config 5 requires
+>=2-host measurement points. parallel/multihost.py simulates hosts with
+independent subprocesses and merges count matrices file-side; THIS module is
+the genuine article: one SPMD process per host, a global mesh over every
+process's devices, and the error-profile count matrix psum'd IN-STEP across
+the 'data' axis (over DCN on a real pod, over Gloo on the CPU backend —
+tests/test_distributed.py runs 2 real processes and pins the psum'd counts
+and merged SAM to the 1-process run).
+
+Lockstep contract: every process must execute the same number of global
+steps, so the driver first counts records (one cheap newline pass), derives
+the global batch count, and processes past their last local batch feed
+all-padding batches (lengths 0 -> zero counts, zero records).
+
+Shard files and .done.json manifests use the same layout as
+multihost.run_host_shard, so multihost.merge_host_outputs works unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+
+from parasuite_tpu.io.batch import ReadBatch
+from parasuite_tpu.io.fastq import count_fastq_records, iter_fastq_batches
+from parasuite_tpu.parallel.dist_align import make_dist_align_step
+from parasuite_tpu.utils.runlog import NULL_LOG
+
+
+def initialize(coordinator: str, num_processes: int, process_id: int) -> None:
+    """jax.distributed.initialize wrapper (call before any device use)."""
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def _local_view(arr) -> np.ndarray:
+    """This process's contiguous block of a 'data'-sharded global array."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def _replicated_view(arr) -> np.ndarray:
+    return np.asarray(arr.addressable_data(0))
+
+
+def run_distributed_host(engine, fastq, out_prefix, *,
+                         with_profile_counts: bool = True,
+                         log=NULL_LOG):
+    """One process's share of a jax.distributed multi-host run.
+
+    Requires jax.distributed.initialize() to have been called. Writes this
+    process's headerless SAM shard + .done.json (multihost layout) and
+    returns (n_records, psum'd counts or None, n_profiled). The counts
+    matrix is identical on every process (it is the in-step psum over the
+    full mesh), so any one process can save the profile.
+    """
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from parasuite_tpu.errormodel.infer import count_indels_from_cigar
+    from parasuite_tpu.ops.device_index import min_scores_host
+    from parasuite_tpu.parallel.multihost import shard_paths
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    cfg = engine.cfg
+    B, L = cfg.batch_size, cfg.max_read_len
+
+    n_total = count_fastq_records(fastq)
+    n_batches = max(1, math.ceil(n_total / B))
+    n_steps = math.ceil(n_batches / nproc)
+
+    devs = jax.devices()
+    if (B * nproc) % len(devs):
+        raise ValueError(f"batch_size*n_processes ({B}*{nproc}) must divide "
+                         f"by the global device count ({len(devs)})")
+    mesh = Mesh(np.asarray(devs), ("data",))
+    data_sh = NamedSharding(mesh, P("data"))
+    repl_sh = NamedSharding(mesh, P())
+
+    def to_global(x, sharding, gdim0):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, (gdim0, *x.shape[1:]))
+
+    didx_g = jax.tree.map(
+        lambda x: to_global(x, repl_sh, np.asarray(x).shape[0]), engine.didx)
+    sprof_g = jax.tree.map(
+        lambda x: to_global(x, repl_sh, np.asarray(x).shape[0]), engine.sprof)
+
+    step = make_dist_align_step(cfg, mesh, with_counts=with_profile_counts)
+
+    shard = shard_paths(out_prefix, nproc)[pid]
+    counts = (np.zeros((L, 4, 4), dtype=np.int64)
+              if with_profile_counts else None)
+    ins = np.zeros(L, dtype=np.int64)
+    dels = np.zeros(L, dtype=np.int64)
+    n_gapped = 0
+    n_records = 0
+    n_profiled = 0
+    batch_records: list[int] = []
+
+    empty = ReadBatch(codes=np.full((B, L), 4, dtype=np.int8),
+                      lengths=np.zeros(B, dtype=np.int32))
+    it = iter_fastq_batches(fastq, B, L, stride_shards=nproc, shard_index=pid)
+    with open(shard, "wb") as fh:
+        class _W:
+            def write(self, line):
+                fh.write(line.encode("ascii") + b"\n")
+
+            def write_block(self, text):
+                fh.write(text.encode("ascii"))
+
+        writer = _W()
+        for _g in range(n_steps):
+            batch = next(it, None)
+            real = batch is not None
+            if not real:
+                batch = empty
+            codes_g = to_global(batch.codes, data_sh, B * nproc)
+            lens_g = to_global(batch.lengths, data_sh, B * nproc)
+            ms_g = to_global(min_scores_host(batch.lengths, cfg), data_sh,
+                             B * nproc)
+            out = step(didx_g, sprof_g, codes_g, lens_g, ms_g)
+            res, c = out if with_profile_counts else (out, None)
+            if with_profile_counts:
+                counts += _replicated_view(c).astype(np.int64)
+            # this process's rows of the global sharded AlignResult
+            local_res = type(res)(*[_local_view(x) for x in res])
+            if not real:
+                continue
+            if with_profile_counts:
+                n_profiled += int((np.asarray(local_res.mapped)
+                                   & np.asarray(local_res.ug_equal)
+                                   & (batch.lengths > 0)).sum())
+            host = engine.to_host(batch, local_res)
+            if with_profile_counts:
+                for b in range(batch.n_real):
+                    if host.mapped[b] and not host.ug_equal[b]:
+                        count_indels_from_cigar(
+                            host.cigars[b], int(batch.lengths[b]),
+                            int(host.strand[b]), ins, dels)
+                        n_gapped += 1
+            engine.emit_sam(batch, host, writer)
+            n_records += batch.n_real
+            batch_records.append(batch.n_real)
+            log.event("dist.batch", step=_g, reads=batch.n_real,
+                      records=n_records)
+
+    if with_profile_counts:
+        # the in-step psum already folded every process's contribution, so
+        # the matrix is GLOBAL and identical on all processes: only process 0
+        # saves it (multihost.merge_host_outputs sums whatever shard count
+        # files exist — a per-shard copy would overcount x nproc). Indel
+        # counts come from LOCAL host tracebacks, so every shard saves its
+        # own and the merge sums them.
+        if pid == 0:
+            np.save(shard + ".counts.npy", counts)
+        np.savez(shard + ".indels.npz", ins=ins, dels=dels,
+                 n_gapped=np.int64(n_gapped))
+    Path(shard + ".done.json").write_text(json.dumps(
+        {"records": n_records, "profiled": n_profiled,
+         "batch_records": batch_records}))
+    log.event("dist.done", records=n_records, steps=n_steps)
+    return n_records, counts, n_profiled

@@ -145,24 +145,21 @@ class AlignerEngine:
         ug_eq = np.asarray(res.ug_equal)
         nm = np.asarray(res.nm).copy()
         diag = np.asarray(res.diag)
-        cigars: list = []
-        w = cfg.band_width
-        for b in range(batch.n_total):
-            ln = int(batch.lengths[b])
-            if not mapped[b]:
-                cigars.append([])
-                continue
-            if ug_eq[b]:
-                cigars.append([("M", ln)])
-                continue
-            # gapped: host traceback (oracle DP on the winning candidate)
+        # cigars: gapless fast path builds the whole list in one sweep; only
+        # the rare gapped winners (mapped & !ug_equal, <<1%) pay a host DP
+        # traceback
+        lens = batch.lengths
+        cigars: list = [([("M", int(lens[b]))] if mapped[b] else [])
+                        for b in range(batch.n_total)]
+        for b in np.nonzero(mapped & ~ug_eq)[0]:
+            ln = int(lens[b])
             oriented = (batch.codes[b, :ln] if strand[b] == 0
                         else revcomp_codes(batch.codes[b, :ln]))
             p, cigar, total_nm = host_traceback(
                 self.ref.seq, self.s_tensor, self.s_comp, cfg, oriented, ln,
                 int(strand[b]), int(diag[b]))
             pos[b] = p
-            cigars.append(cigar)
+            cigars[b] = cigar
             nm[b] = total_nm
         tc = self._tc_counts(batch, mapped, strand, pos, ug_eq)
         xa = (self._xa_strings(batch, table, mapped, strand, pos, score)

@@ -161,18 +161,17 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
 
         writer = _FhWriter()
         batch_idx = 0
-        for batch in iter_fastq_batches(
-                fastq, cfg.batch_size, cfg.max_read_len,
-                stride_shards=stride_shards, shard_index=shard_index):
-            if batch_idx < start_batch:  # already committed before restart
-                batch_idx += 1
-                continue
-            res = engine.align_device(batch.codes, batch.lengths)
+
+        def drain(pend):
+            """Host-side finishing for one dispatched batch: profile adds,
+            tracebacks, SAM formatting, checkpoint. Runs while the device
+            crunches the NEXT batch (1-deep software pipeline — jax dispatch
+            is async, so align_device for batch N returns before N finishes
+            and this host work overlaps it; SURVEY.md §7 hard part 3)."""
+            nonlocal counts, n_profiled, n_records, n_gapped
+            batch, res, c, idx = pend
             if with_profile_counts:
-                c = engine.profile_counts_device(batch.codes, batch.lengths,
-                                                 res)
                 counts += np.asarray(c, dtype=np.int64)
-                # res is AlignResult (plain engine) or (AlignResult, table)
                 r0 = res if hasattr(res, "mapped") else res[0]
                 n_profiled += int(np.asarray(
                     r0.mapped & r0.ug_equal & (batch.lengths > 0)).sum())
@@ -189,16 +188,32 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
             fh.flush()
             n_records += batch.n_real
             batch_records.append(batch.n_real)
-            batch_idx += 1
-            if (batch_idx - start_batch) % checkpoint_every == 0:
-                ckpt.save(batch_idx, n_records, profiled=n_profiled,
+            if (idx - start_batch) % checkpoint_every == 0:
+                ckpt.save(idx, n_records, profiled=n_profiled,
                           counts=counts if with_profile_counts else None,
                           indels=((ins, dels, n_gapped)
                                   if with_profile_counts else None),
                           sam_bytes=fh.tell(), batch_records=batch_records)
-            log.event("align.batch", batch=batch_idx, reads=batch.n_real,
+            log.event("align.batch", batch=idx, reads=batch.n_real,
                       mapped=int(host.mapped[:batch.n_real].sum()),
                       records=n_records)
+
+        pending = None
+        for batch in iter_fastq_batches(
+                fastq, cfg.batch_size, cfg.max_read_len,
+                stride_shards=stride_shards, shard_index=shard_index):
+            if batch_idx < start_batch:  # already committed before restart
+                batch_idx += 1
+                continue
+            res = engine.align_device(batch.codes, batch.lengths)
+            c = (engine.profile_counts_device(batch.codes, batch.lengths, res)
+                 if with_profile_counts else None)
+            if pending is not None:
+                drain(pending)
+            batch_idx += 1
+            pending = (batch, res, c, batch_idx)
+        if pending is not None:
+            drain(pending)
         final_bytes = fh.tell()
     ckpt.save(batch_idx, n_records, complete=True, profiled=n_profiled,
               counts=counts if with_profile_counts else None,
