@@ -136,14 +136,23 @@ def cmd_twopass(args) -> int:
     log.event("twopass.profile", n_reads=profile.n_reads,
               n_gapped=profile.n_gapped)
 
-    # pass 2: learned scoring
+    # pass 2: learned scoring (optionally learned gap penalties too)
+    if args.learned_gaps:
+        import dataclasses
+
+        go, ge = profile.gap_penalties(cfg)
+        cfg = dataclasses.replace(cfg, gap_open=go, gap_extend=ge)
+        engine = _load_engine(args, cfg)  # new cfg -> new compiled step
+        log.event("twopass.gaps", gap_open=go, gap_extend=ge)
     engine.set_profile(counts_to_profile(profile, cfg))
     n, _, _ = streaming_align(engine, args.fastq, args.out,
                               resume=args.resume, log=log, command_line=cl)
     Path(str(args.out) + ".config.json").write_text(cfg.to_json())
-    print(json.dumps({"tool": "twopass", "reads": n,
-                      "profiled_reads": profile.n_reads,
-                      "profile": str(profile_out)}))
+    out = {"tool": "twopass", "reads": n,
+           "profiled_reads": profile.n_reads, "profile": str(profile_out)}
+    if args.learned_gaps:
+        out["gap_open"], out["gap_extend"] = cfg.gap_open, cfg.gap_extend
+    print(json.dumps(out))
     return 0
 
 
@@ -156,16 +165,25 @@ def cmd_simulate(args) -> int:
     cfg = _cfg_from_args(args)
     ref = PackedReference.load(args.index_prefix)
     probs = None
+    ins_rate, del_rate = args.ins_rate, args.del_rate
     if args.profile:
-        probs = ErrorProfile.load(args.profile).probs(cfg.profile_pseudocount)
+        prof = ErrorProfile.load(args.profile)
+        probs = prof.probs(cfg.profile_pseudocount)
+        if args.learned_indels:
+            # per-cycle indel rates from the learned profile (SURVEY.md §3.4)
+            ins_rate, del_rate = prof.indel_rates()
     codes, lengths, truth = simulate_reads(
         ref, args.n_reads, args.read_len, cfg, seed=cfg.seed,
-        profile_probs=probs, tc_rate=args.tc_rate)
+        profile_probs=probs, tc_rate=args.tc_rate,
+        ins_rate=ins_rate, del_rate=del_rate)
     names = truth.names()
     write_fastq(args.out, names, codes, lengths)
+    n_indels = (int((truth.indel_kind > 0).sum())
+                if truth.indel_kind is not None else 0)
     print(json.dumps({"tool": "simulate", "reads": args.n_reads,
                       "conversions": int(truth.n_conversions.sum()),
-                      "errors": int(truth.n_errors.sum())}))
+                      "errors": int(truth.n_errors.sum()),
+                      "indels": n_indels}))
     return 0
 
 
@@ -353,6 +371,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("fastq")
     p.add_argument("out")
     p.add_argument("--profile-out", dest="profile_out")
+    p.add_argument("--learned-gaps", dest="learned_gaps",
+                   action="store_true",
+                   help="pass 2 also uses gap penalties learned from pass-1 "
+                        "indel rates (ErrorProfile.gap_penalties)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log", help="append per-batch JSONL stats here")
     _add_cfg_flags(p)
@@ -365,6 +387,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--read-len", dest="read_len", type=int, default=50)
     p.add_argument("--tc-rate", dest="tc_rate", type=float, default=None)
     p.add_argument("--profile", help="errorprofile for error injection")
+    p.add_argument("--ins-rate", dest="ins_rate", type=float, default=None,
+                   help="per-cycle insertion probability (one event max/read)")
+    p.add_argument("--del-rate", dest="del_rate", type=float, default=None,
+                   help="per-cycle deletion probability (one event max/read)")
+    p.add_argument("--learned-indels", dest="learned_indels",
+                   action="store_true",
+                   help="with --profile: draw indels from its learned "
+                        "per-cycle rates")
     _add_cfg_flags(p)
     p.set_defaults(fn=cmd_simulate)
 

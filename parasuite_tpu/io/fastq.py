@@ -116,8 +116,8 @@ def _iter_groups_native(path, batch_size: int, max_len: int):
 
     codes = np.full((batch_size, max_len), 4, dtype=np.int8)
     lengths = np.zeros(batch_size, dtype=np.int32)
+    quals = np.full((batch_size, max_len), ord("I"), dtype=np.uint8)
     names: list[str] = []
-    quals: list[bytes] = []
     nfill = 0
     buf = bytearray()
     with _open(path) as fh:
@@ -131,22 +131,27 @@ def _iter_groups_native(path, batch_size: int, max_len: int):
                     buf += chunk
             scan_end = len(buf) if eof else buf.rfind(b"\n") + 1
             while scan_end > 0:
-                n, consumed, c, ln, nm, ql = native.fastq_scan_chunk(
+                n, consumed, c, ln, nm, q = native.fastq_scan_chunk(
                     bytes(buf[:scan_end]), batch_size - nfill, max_len)
                 if n == 0:
                     break
                 del buf[:consumed]
                 scan_end -= consumed
-                codes[nfill:nfill + n] = c[:n]
-                lengths[nfill:nfill + n] = ln[:n]
+                if nfill == 0 and n == batch_size:
+                    codes, lengths, quals = c, ln, q  # whole batch: no copy
+                else:
+                    codes[nfill:nfill + n] = c[:n]
+                    lengths[nfill:nfill + n] = ln[:n]
+                    quals[nfill:nfill + n] = q[:n]
                 names.extend(nm)
-                quals.extend(ql)
                 nfill += n
                 if nfill == batch_size:
                     yield codes, lengths, names, quals
                     codes = np.full((batch_size, max_len), 4, dtype=np.int8)
                     lengths = np.zeros(batch_size, dtype=np.int32)
-                    names, quals, nfill = [], [], 0
+                    quals = np.full((batch_size, max_len), ord("I"),
+                                    dtype=np.uint8)
+                    names, nfill = [], 0
             if eof:
                 if buf.strip():
                     raise ValueError(

@@ -79,7 +79,8 @@ def fastq_scan_chunk(buf: bytes, max_reads: int, max_len: int):
     """Parse complete records from a bytes chunk.
 
     -> (n_parsed, consumed_bytes, codes int8 [max_reads, max_len],
-        lengths int32, names list[str], quals list[bytes])
+        lengths int32, names list[str], quals uint8 [max_reads, max_len]
+        'I'-padded — the ReadBatch.quals layout, written in place by C++)
     """
     lib = _load()
     if lib is None:
@@ -104,8 +105,7 @@ def fastq_scan_chunk(buf: bytes, max_reads: int, max_len: int):
     n = int(n)
     raw = ctypes.string_at(names_buf, int(name_off[n])).decode("ascii")
     names = [raw[int(name_off[i]):int(name_off[i + 1])] for i in range(n)]
-    qlist = [quals[i, : lengths[i]].tobytes() for i in range(n)]
-    return n, int(consumed.value), codes, lengths, names, qlist
+    return n, int(consumed.value), codes, lengths, names, quals
 
 
 def sam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,

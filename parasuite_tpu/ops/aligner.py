@@ -58,6 +58,9 @@ class AlignResult(NamedTuple):
     nm: jnp.ndarray          # int32 ungapped edit distance (valid iff ug_equal)
     diag: jnp.ndarray        # int32 winning candidate diagonal (for traceback)
     n_candidates: jnp.ndarray  # int32 candidates extended (stats/logging)
+    tc_count: jnp.ndarray    # int32 machine-frame T->C conversions (valid iff
+                             # ug_equal; gapped winners recount on host via
+                             # the CIGAR walk — pipeline.align.to_host)
 
 
 # ---------------------------------------------------------------------------
@@ -387,8 +390,16 @@ def finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
     sel_read = jnp.take_along_axis(
         oriented, sel_strand[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     mm = (rb != sel_read) | (rb == 4) | (sel_read == 4)
-    nm = jnp.sum(jnp.where(i[None, :] < lengths[:, None], mm, False),
-                 axis=1).astype(jnp.int32)
+    in_len = i[None, :] < lengths[:, None]
+    nm = jnp.sum(jnp.where(in_len, mm, False), axis=1).astype(jnp.int32)
+
+    # machine-frame T->C over the ungapped span (the ref window is already
+    # in registers here, so this is free bandwidth-wise); genome-strand view:
+    # fwd (ref T, read C), rev (ref A, read G) — oracle align_read _tc_from_cigar
+    tc_hit = jnp.where(sel_strand[:, None] == 1,
+                       (rb == 0) & (sel_read == 2),
+                       (rb == 3) & (sel_read == 1))
+    tc = jnp.sum(jnp.where(in_len, tc_hit, False), axis=1).astype(jnp.int32)
 
     return AlignResult(
         mapped=mapped,
@@ -402,6 +413,7 @@ def finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
         nm=jnp.where(mapped, nm, 0),
         diag=jnp.where(mapped, sel_diag, 0),
         n_candidates=jnp.sum(valid0, axis=1).astype(jnp.int32),
+        tc_count=jnp.where(mapped & sel_ug_eq, tc, 0),
     )
 
 

@@ -34,7 +34,7 @@ from parasuite_tpu.config import AlignConfig
 from parasuite_tpu.errormodel.scoring import complement_score_tensor
 from parasuite_tpu.index.kmer import KmerIndex
 from parasuite_tpu.index.reference import PackedReference
-from parasuite_tpu.utils.dna import N, revcomp_codes
+from parasuite_tpu.utils.dna import A, C, G, N, T, revcomp_codes
 
 NEG = -(1 << 28)  # -inf sentinel that survives int32 adds
 
@@ -230,6 +230,7 @@ class OracleAlignment:
     ug_equal: bool = True      # gapless fast path taken
     diag: int = 0              # winning candidate diagonal (for re-traceback)
     n_candidates: int = 0
+    tc: int = 0                # machine-frame T->C conversions (cluster stats)
 
 
 def _ungapped_nm(read_codes: np.ndarray, refwin: np.ndarray, j: int,
@@ -237,6 +238,32 @@ def _ungapped_nm(read_codes: np.ndarray, refwin: np.ndarray, j: int,
     rb = refwin[j : j + read_len]
     cb = read_codes[:read_len]
     return int(np.sum((rb != cb) | (rb == N) | (cb == N)))
+
+
+def _tc_from_cigar(ref_seq: np.ndarray, packed_pos: int,
+                   oriented: np.ndarray, strand: int, cigar: list) -> int:
+    """Machine-frame T->C conversions over the M segments. A machine T->C
+    shows on the genome strand as (ref T, read C) forward / (ref A, read G)
+    reverse; I consumes read only, D/N reference only (same spec as
+    pipeline.clusters.tc_count_from_cigar — duplicated here because the
+    oracle is the independent executable spec)."""
+    tc = 0
+    ri, qi = packed_pos, 0
+    for op, ln in cigar:
+        if op == "M":
+            rb = ref_seq[ri : ri + ln]
+            cb = oriented[qi : qi + ln]
+            if strand == 0:
+                tc += int(np.sum((rb == T) & (cb == C)))
+            else:
+                tc += int(np.sum((rb == A) & (cb == G)))
+            ri += ln
+            qi += ln
+        elif op == "I":
+            qi += ln
+        else:
+            ri += ln
+    return tc
 
 
 def _mapq(x0: int, x1: int) -> int:
@@ -311,6 +338,8 @@ def align_read(read_codes: np.ndarray, read_len: int, ref: PackedReference,
         aln.packed_pos = pos_key
         aln.cigar = [("M", read_len)]
         aln.nm = _ungapped_nm(oriented[strand], refwin, best["j_sel"], read_len)
+        aln.tc = _tc_from_cigar(ref.seq, aln.packed_pos, oriented[strand],
+                                strand, aln.cigar)
     else:
         dp_score, dp_j, _ug, _ugj, tables = banded_dp(
             rows[strand], refwin, read_len, cfg, keep_tables=True)
@@ -334,6 +363,8 @@ def align_read(read_codes: np.ndarray, read_len: int, ref: PackedReference,
             else:
                 ri += ln
         aln.nm = nm
+        aln.tc = _tc_from_cigar(ref.seq, aln.packed_pos, oriented[strand],
+                                strand, cigar)
     return aln
 
 

@@ -118,12 +118,20 @@ class AlignerEngine:
 
     # --- device steps ---
     def align_device(self, codes: np.ndarray, lengths: np.ndarray):
-        """-> AlignResult, or (AlignResult, CandidateTable) with xa_tags."""
+        """-> AlignResult, or (AlignResult, CandidateTable) with xa_tags.
+
+        Starts the device->host copies asynchronously so the payload streams
+        back over the tunnel while the device crunches the NEXT batch and the
+        host formats the PREVIOUS one (streaming_align's software pipeline);
+        to_host's device_get then completes nearly instantly."""
         if self.xa_tags:
-            return self._align_cand(self.didx, self.sprof, codes, lengths,
-                                    min_scores_host(lengths, self.cfg))
-        return self._align(self.didx, self.sprof, codes, lengths,
-                           min_scores_host(lengths, self.cfg))
+            out = self._align_cand(self.didx, self.sprof, codes, lengths,
+                                   min_scores_host(lengths, self.cfg))
+        else:
+            out = self._align(self.didx, self.sprof, codes, lengths,
+                              min_scores_host(lengths, self.cfg))
+        jax.tree.map(lambda x: x.copy_to_host_async(), out)
+        return out
 
     def profile_counts_device(self, codes, lengths, res):
         if not hasattr(res, "mapped"):
@@ -138,6 +146,10 @@ class AlignerEngine:
         table = None
         if not hasattr(res, "mapped"):
             res, table = res
+        # one batched fetch: per-field np.asarray would pay a separate
+        # device->host round trip each (ruinous over the remote-TPU tunnel:
+        # measured 300ms/batch for 11 fields vs ~30ms batched)
+        res, table = jax.device_get((res, table))
         mapped = np.asarray(res.mapped)
         strand = np.asarray(res.strand)
         pos = np.asarray(res.pos).copy()
@@ -147,8 +159,12 @@ class AlignerEngine:
         diag = np.asarray(res.diag)
         # cigars: gapless fast path builds the whole list in one sweep; only
         # the rare gapped winners (mapped & !ug_equal, <<1%) pay a host DP
-        # traceback
+        # traceback. T->C counts come from the device (finalize) for ungapped
+        # winners; gapped rows recount over the real CIGAR here.
+        from parasuite_tpu.pipeline.clusters import tc_count_from_cigar
+
         lens = batch.lengths
+        tc = np.asarray(res.tc_count).copy()
         cigars: list = [([("M", int(lens[b]))] if mapped[b] else [])
                         for b in range(batch.n_total)]
         for b in np.nonzero(mapped & ~ug_eq)[0]:
@@ -161,7 +177,8 @@ class AlignerEngine:
             pos[b] = p
             cigars[b] = cigar
             nm[b] = total_nm
-        tc = self._tc_counts(batch, mapped, strand, pos, ug_eq)
+            tc[b] = tc_count_from_cigar(self.ref.seq, p, oriented,
+                                        int(strand[b]), cigar)
         xa = (self._xa_strings(batch, table, mapped, strand, pos, score)
               if table is not None else None)
         return HostAlignments(mapped=mapped, strand=strand, pos=pos,
@@ -169,22 +186,6 @@ class AlignerEngine:
                               x0=np.asarray(res.x0), x1=np.asarray(res.x1),
                               nm=nm, ug_equal=ug_eq, cigars=cigars,
                               tc_count=tc, xa=xa)
-
-    def _tc_counts(self, batch: ReadBatch, mapped, strand, pos, ug_eq) -> np.ndarray:
-        """Machine-frame T->C conversions per ungapped mapped read (vectorized;
-        feeds cluster calling's conversion statistics)."""
-        B, L = batch.codes.shape
-        G = self.ref.seq.shape[0]
-        i = np.arange(L)[None, :]
-        lens = batch.lengths[:, None]
-        off = np.where(strand[:, None] == 0, i, np.clip(lens - 1 - i, 0, L - 1))
-        ridx = np.clip(pos[:, None].astype(np.int64) + off, 0, G - 1)
-        rb = self.ref.seq[ridx].astype(np.int64)
-        comp = np.array([3, 2, 1, 0, 4])
-        rb = np.where(strand[:, None] == 1, comp[rb], rb)
-        cb = batch.codes.astype(np.int64)
-        use = (mapped & ug_eq)[:, None] & (i < lens)
-        return np.sum(use & (rb == 3) & (cb == 1), axis=1).astype(np.int32)
 
     def _xa_strings(self, batch, table, mapped, strand, pos, score):
         """Per-read XA:Z alternative-hit tags (BWA samse convention:
@@ -308,7 +309,7 @@ class AlignerEngine:
             extra = [host.xa[b]]
         return format_record(
             batch.names[b], batch.codes[b], int(batch.lengths[b]),
-            batch.quals[b], self.sam_ref,
+            batch.qual_bytes(b), self.sam_ref,
             mapped=bool(host.mapped[b]), strand=int(host.strand[b]),
             packed_pos=int(host.pos[b]), mapq=int(host.mapq[b]),
             cigar=host.cigars[b], score=int(host.score[b]),
@@ -319,12 +320,7 @@ class AlignerEngine:
         from parasuite_tpu import native
 
         sl = slice(b, e)
-        n = e - b
-        L = batch.max_len
-        quals = np.full((n, L), ord("I"), dtype=np.uint8)
-        for k in range(n):
-            q = batch.quals[b + k]
-            quals[k, : len(q)] = np.frombuffer(q, dtype=np.uint8)[:L]
+        quals = batch.quals[sl]  # already the [n, L] uint8 layout
         mapped = host.mapped[sl]
         strand = host.strand[sl]
         flag = np.where(mapped, np.where(strand == 1, 16, 0), 4)

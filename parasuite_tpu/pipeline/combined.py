@@ -452,7 +452,7 @@ class CombinedEngine:
         for b in range(batch.n_real):
             writer.write(format_record(
                 batch.names[b], batch.codes[b], int(batch.lengths[b]),
-                batch.quals[b], self.genome_ref,
+                batch.qual_bytes(b), self.genome_ref,
                 mapped=bool(host.mapped[b]), strand=int(host.strand[b]),
                 packed_pos=int(host.pos[b]), mapq=int(host.mapq[b]),
                 cigar=host.cigars[b], score=int(host.score[b]),

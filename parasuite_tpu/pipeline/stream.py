@@ -171,6 +171,11 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
             nonlocal counts, n_profiled, n_records, n_gapped
             batch, res, c, idx = pend
             if with_profile_counts:
+                import jax
+
+                # fetch results + counts in ONE batched transfer (separate
+                # np.asarray calls pay one tunnel round trip each)
+                res, c = jax.device_get((res, c))
                 counts += np.asarray(c, dtype=np.int64)
                 r0 = res if hasattr(res, "mapped") else res[0]
                 n_profiled += int(np.asarray(

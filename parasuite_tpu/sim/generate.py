@@ -37,6 +37,8 @@ class SimTruth:
     strand: np.ndarray       # int8
     n_conversions: np.ndarray  # int32 injected T->C count
     n_errors: np.ndarray     # int32 injected sequencing errors
+    indel_kind: np.ndarray | None = None  # int8: 0 none, 1 ins, 2 del
+    indel_pos: np.ndarray | None = None   # int32 machine cycle of the event
 
     def names(self, prefix: str = "sim") -> list[str]:
         return [f"{prefix}_{i}:{int(self.chrom_idx[i])}:"
@@ -59,11 +61,24 @@ def _valid_starts(ref: PackedReference, read_len: int) -> np.ndarray:
     return np.nonzero(ok)[0].astype(np.int64)
 
 
+def _indel_rate_vec(rate, read_len: int, lo: int, hi: int) -> np.ndarray:
+    """Scalar-or-per-cycle rate -> per-cycle vector masked to the interior."""
+    out = np.zeros(read_len, dtype=np.float64)
+    if rate is None:
+        return out
+    r = np.asarray(rate, dtype=np.float64)
+    v = np.full(read_len, float(r)) if r.ndim == 0 else np.pad(
+        r[:read_len], (0, max(0, read_len - r.shape[0])))
+    out[lo:hi] = v[lo:hi]
+    return out
+
+
 def simulate_reads(ref: PackedReference, n: int, read_len: int,
                    cfg: AlignConfig, seed: int | None = None,
                    profile_probs: np.ndarray | None = None,
                    tc_rate: float | None = None,
-                   site_positions: np.ndarray | None = None
+                   site_positions: np.ndarray | None = None,
+                   ins_rate=None, del_rate=None
                    ) -> tuple[np.ndarray, np.ndarray, SimTruth]:
     """-> (codes int8 [n, read_len], lengths int32 [n], SimTruth).
 
@@ -72,11 +87,36 @@ def simulate_reads(ref: PackedReference, n: int, read_len: int,
     machine-frame Ts within +-2 of the site (binding-site mode for the
     cluster-calling config); otherwise positions are uniform over N-free
     windows and every T converts i.i.d.
+
+    ins_rate/del_rate (SURVEY.md §3.4 "sequencing errors per profile"):
+    scalar per-cycle probability or a per-cycle array (ErrorProfile.
+    indel_rates()). At most one indel per read — events are <<1%/cycle so
+    doubles are O(rate^2) — drawn over interior cycles [4, L-4) so the
+    alignment's genome START is unchanged by the event and truth comparison
+    stays exact (the CIGAR gains a 1I/1D in the middle).
     """
     tc_rate = cfg.sim_tc_rate if tc_rate is None else tc_rate
     seed = cfg.seed if seed is None else seed
     key = jax.random.PRNGKey(seed)
     k_pos, k_strand, k_tc, k_err, k_errbase = jax.random.split(key, 5)
+    # fold_in (not a 6-way split): keeps the no-indel random stream identical
+    # to earlier versions, so indel-free datasets are bit-stable across seeds
+    k_indel = jax.random.fold_in(key, 0x1D3)
+
+    # one optional indel per read: kind (0/1/2) + machine cycle, positioned
+    # per the per-cycle rate vectors restricted to the interior
+    L = read_len
+    lo = min(4, max(1, L // 4))
+    hi = max(L - lo, lo + 1)
+    ins_v = _indel_rate_vec(ins_rate, L, lo, hi)
+    del_v = _indel_rate_vec(del_rate, L, lo, hi)
+    p_ins, p_del = float(ins_v.sum()), float(del_v.sum())
+    if p_ins + p_del > 0.9:
+        raise ValueError(
+            f"per-read indel probability {p_ins + p_del:.3f} too high for "
+            "the one-event model (sum of per-cycle rates must be << 1)")
+    # a deletion reads one base past the window: size the N-free window for it
+    win = read_len + (1 if p_del > 0 else 0)
 
     if site_positions is not None:
         sites = np.asarray(site_positions, dtype=np.int64)
@@ -87,7 +127,7 @@ def simulate_reads(ref: PackedReference, n: int, read_len: int,
         pos = jnp.asarray(sites)[si] - off
         site_off = off
     else:
-        starts = _valid_starts(ref, read_len)
+        starts = _valid_starts(ref, win)
         idx = jax.random.randint(k_pos, (n,), 0, starts.shape[0])
         pos = jnp.asarray(starts)[idx]
         site_off = None
@@ -96,11 +136,40 @@ def simulate_reads(ref: PackedReference, n: int, read_len: int,
 
     seq_dev = jnp.asarray(ref.seq)
     G = ref.total_len
-    i = jnp.arange(read_len)
-    ridx = jnp.clip(pos[:, None] + i[None, :], 0, G - 1)
+    i = jnp.arange(L)
+    if p_ins + p_del > 0:
+        k_kind, k_ipos, k_dpos, k_ibase = jax.random.split(k_indel, 4)
+        u = jax.random.uniform(k_kind, (n,))
+        kind = jnp.where(u < p_ins, 1,
+                         jnp.where(u < p_ins + p_del, 2, 0)).astype(jnp.int32)
+        jpos_i = jax.random.categorical(
+            k_ipos, jnp.log(jnp.asarray(ins_v) + 1e-30), shape=(n,))
+        jpos_d = jax.random.categorical(
+            k_dpos, jnp.log(jnp.asarray(del_v) + 1e-30), shape=(n,))
+        jpos = jnp.where(kind == 1, jpos_i, jpos_d).astype(jnp.int32)
+        ibase = jax.random.randint(k_ibase, (n,), 0, 4)
+    else:
+        kind = jnp.zeros(n, dtype=jnp.int32)
+        jpos = jnp.zeros(n, dtype=jnp.int32)
+        ibase = jnp.zeros(n, dtype=jnp.int32)
+
+    # machine cycle i -> genome offset within the source window. A deletion
+    # skips one genome base after cycle j; an insertion repeats none (cycle j
+    # is a random base); reverse-strand reads walk the window top-down.
+    after_d = (i[None, :] >= jpos[:, None]).astype(jnp.int32)
+    after_i = (i[None, :] > jpos[:, None]).astype(jnp.int32)
+    g_fwd = jnp.where(kind[:, None] == 2, i[None, :] + after_d,
+                      jnp.where(kind[:, None] == 1, i[None, :] - after_i,
+                                i[None, :]))
+    span = (L + (kind == 2).astype(jnp.int32)
+            - (kind == 1).astype(jnp.int32))
+    g = jnp.where(strand[:, None] == 1, span[:, None] - 1 - g_fwd, g_fwd)
+    ridx = jnp.clip(pos[:, None] + g, 0, G - 1)
     frag = seq_dev[ridx].astype(jnp.int32)
     comp = jnp.asarray([3, 2, 1, 0, 4])
-    machine = jnp.where(strand[:, None] == 1, comp[frag[:, ::-1]], frag)
+    machine = jnp.where(strand[:, None] == 1, comp[frag], frag)
+    machine = jnp.where((kind[:, None] == 1) & (i[None, :] == jpos[:, None]),
+                        ibase[:, None], machine)
 
     # T->C conversions (machine frame: PAR-CLIP conversions always read T->C)
     u_tc = jax.random.uniform(k_tc, (n, read_len))
@@ -134,7 +203,9 @@ def simulate_reads(ref: PackedReference, n: int, read_len: int,
     truth = SimTruth(packed_pos=pos_np, chrom_idx=ci.astype(np.int32),
                      local_pos=local, strand=np.asarray(strand, dtype=np.int8),
                      n_conversions=np.asarray(n_conv),
-                     n_errors=np.asarray(n_err))
+                     n_errors=np.asarray(n_err),
+                     indel_kind=np.asarray(kind, dtype=np.int8),
+                     indel_pos=np.asarray(jpos, dtype=np.int32))
     lengths = np.full(n, read_len, dtype=np.int32)
     return codes, lengths, truth
 

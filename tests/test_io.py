@@ -113,7 +113,7 @@ def test_iter_batches_native_parity(tmp_path, monkeypatch):
             np.testing.assert_array_equal(bp.codes, bn.codes)
             np.testing.assert_array_equal(bp.lengths, bn.lengths)
             assert bp.names == bn.names
-            assert bp.quals == bn.quals
+            np.testing.assert_array_equal(bp.quals, bn.quals)
 
 
 def test_iter_batches_native_gz_and_malformed(tmp_path):

@@ -41,6 +41,7 @@ def _compare(res, alns, cfg, ctx=""):
         if a.ug_equal:
             assert int(res.pos[b]) == a.packed_pos, where
             assert int(res.nm[b]) == a.nm, where
+            assert int(res.tc_count[b]) == a.tc, where
 
 
 def _run(device_state, tiny_ref, tiny_index, small_cfg, codes, lengths):

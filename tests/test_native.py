@@ -53,7 +53,9 @@ def test_fastq_scan_parity(tmp_path):
     np.testing.assert_array_equal(glens[:n], lengths)
     np.testing.assert_array_equal(gcodes[:n, :L], codes)
     assert np.all(gcodes[:n, L:] == 4)
-    assert gquals == quals
+    for i in range(n):
+        assert gquals[i, :L].tobytes() == quals[i]
+    assert np.all(gquals[:n, L:] == ord("I"))
 
 
 def test_fastq_scan_partial_chunk(tmp_path):

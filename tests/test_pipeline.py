@@ -34,6 +34,45 @@ def test_simulator_roundtrip(engine, tiny_ref, small_cfg):
     assert rep.precision >= 0.99
 
 
+def test_simulator_indel_roundtrip(engine, tiny_ref, small_cfg):
+    """Indel injection (SURVEY.md §3.4; VERDICT r1 missing #5): with
+    per-cycle ins/del rates on, injected reads must come back as gapped
+    alignments with 1I/1D CIGARs at unchanged genome starts."""
+    codes, lengths, truth = simulate_reads(tiny_ref, 300, 50, small_cfg,
+                                           seed=9, tc_rate=0.05,
+                                           ins_rate=0.004, del_rate=0.004)
+    n_indel = int((truth.indel_kind > 0).sum())
+    assert n_indel >= 40  # ~16% per-read at 0.4%/cycle over ~42 cycles x2
+    host = engine.align_to_host(_mk_batch(codes, lengths))
+    # interior single-base indels leave the genome start unchanged, but give
+    # the DP band_width of slack for equal-score placements near the event
+    rep = evaluate_against_truth(truth, host.mapped, host.strand, host.pos,
+                                 tolerance=small_cfg.band_width)
+    assert rep.sensitivity >= 0.95
+    assert rep.precision >= 0.97
+    # the injected events actually exercise gapped DP + host traceback
+    gapped = [i for i in range(300)
+              if host.mapped[i] and not host.ug_equal[i]]
+    assert len(gapped) >= n_indel // 2
+    ops = {op for i in gapped for op, _ in host.cigars[i]}
+    assert "I" in ops and "D" in ops
+    # exact-start check on unambiguously-placed indel reads
+    k = truth.indel_kind > 0
+    ok = (host.mapped[:300] & k
+          & (host.pos[:300] == truth.packed_pos)).sum()
+    assert ok >= n_indel * 2 // 3
+
+
+def test_simulator_no_indels_stream_unchanged(tiny_ref, small_cfg):
+    """ins/del rates of 0 must reproduce the pre-indel random stream
+    bit-exactly (fold_in key derivation, not a re-split)."""
+    c1, _, t1 = simulate_reads(tiny_ref, 60, 50, small_cfg, seed=21)
+    c2, _, t2 = simulate_reads(tiny_ref, 60, 50, small_cfg, seed=21,
+                               ins_rate=0.0, del_rate=0.0)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(t1.packed_pos, t2.packed_pos)
+
+
 def test_simulator_determinism(tiny_ref, small_cfg):
     c1, _, t1 = simulate_reads(tiny_ref, 50, 50, small_cfg, seed=11)
     c2, _, t2 = simulate_reads(tiny_ref, 50, 50, small_cfg, seed=11)
