@@ -417,6 +417,87 @@ def finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
     )
 
 
+class PackedResult(NamedTuple):
+    """AlignResult packed for the wire (SURVEY.md §7 hard part 3).
+
+    The remote-TPU tunnel moves ~35 MB/s with a ~25 ms round-trip floor
+    (measured), so the 48 B/read of int32 result fields — and the 50 B/read
+    of int8 codes on the way up — ARE the throughput bottleneck, not the
+    device. Small fields ride one uint8 matrix, coordinates one int32
+    matrix: 21 B/read down instead of 48, nibble-packed codes 25 B/read up
+    instead of 50. unpack_result_host restores a bit-identical AlignResult
+    (ranges enforced by AlignerEngine: L <= 255, 2*max_candidates <= 255).
+    """
+
+    u8: jnp.ndarray    # [B, 9] mapped, strand, mapq, nm, x0, x1, ug, ncand, tc
+    i32: jnp.ndarray   # [B, 3] pos, score, diag
+
+
+def pack_codes_host(codes: np.ndarray) -> np.ndarray:
+    """[B, L] int8 codes (0..4) -> [B, ceil(L/2)] uint8, two per byte."""
+    B, L = codes.shape
+    u = codes.astype(np.uint8)
+    if L % 2:
+        u = np.concatenate([u, np.full((B, 1), 4, np.uint8)], axis=1)
+    return u[:, 0::2] | (u[:, 1::2] << 4)
+
+
+def unpack_codes(packed: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Device-side inverse of pack_codes_host."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)[:, :L]
+
+
+def pack_result(res: AlignResult) -> PackedResult:
+    u8 = jnp.stack([
+        res.mapped, res.strand, res.mapq, res.nm, res.x0, res.x1,
+        res.ug_equal, res.n_candidates, res.tc_count,
+    ], axis=1).astype(jnp.uint8)
+    i32 = jnp.stack([res.pos, res.score, res.diag], axis=1)
+    return PackedResult(u8=u8, i32=i32)
+
+
+def unpack_result_host(packed: PackedResult) -> AlignResult:
+    u8 = np.asarray(packed.u8)
+    i32 = np.asarray(packed.i32)
+    i = u8.astype(np.int32)
+    return AlignResult(
+        mapped=u8[:, 0].astype(bool), strand=i[:, 1],
+        pos=i32[:, 0], score=i32[:, 1], mapq=i[:, 2],
+        x0=i[:, 4], x1=i[:, 5], ug_equal=u8[:, 6].astype(bool),
+        nm=i[:, 3], diag=i32[:, 2], n_candidates=i[:, 7],
+        tc_count=i[:, 8])
+
+
+def min_score_table(cfg: AlignConfig) -> np.ndarray:
+    """int32 [L+1] lookup so per-batch min_scores need no host upload."""
+    from parasuite_tpu.ops.device_index import min_scores_host
+
+    return min_scores_host(np.arange(cfg.max_read_len + 1), cfg)
+
+
+def align_batch_packed(didx: DeviceIndex, sprof: ScoreParams,
+                       packed_codes: jnp.ndarray, lengths_u16: jnp.ndarray,
+                       ms_table: jnp.ndarray, cfg: AlignConfig,
+                       with_counts: bool = False):
+    """Wire-packed align step: nibble codes + uint16 lengths in,
+    PackedResult (and optionally the [L, 4, 4] profile count matrix,
+    fused so profile passes pay no second upload) out."""
+    from parasuite_tpu.ops.profile_update import profile_counts_batch
+
+    codes = unpack_codes(packed_codes, cfg.max_read_len)
+    lengths = lengths_u16.astype(jnp.int32)
+    min_scores = ms_table[jnp.clip(lengths, 0, ms_table.shape[0] - 1)]
+    res = align_batch(didx, sprof, codes, lengths, min_scores, cfg)
+    out = pack_result(res)
+    if not with_counts:
+        return out
+    counts = profile_counts_batch(didx, codes, lengths, res.mapped,
+                                  res.strand, res.pos, res.ug_equal, cfg)
+    return out, counts
+
+
 class CandidateTable(NamedTuple):
     """Per-candidate outputs [B, 2C] for host-side re-finalization (combined
     genome+transcriptome mode: candidates must be projected to genome space

@@ -108,6 +108,18 @@ class AlignerEngine:
         else:
             self._align = jax.jit(functools.partial(align_batch, cfg=cfg))
         self._counts = jax.jit(functools.partial(profile_counts_batch, cfg=cfg))
+        # wire-packed fast path (ops/aligner.PackedResult): uint8 field
+        # ranges hold only under these bounds
+        self.supports_packed = (not xa_tags and cfg.max_read_len <= 255
+                                and 2 * cfg.max_candidates <= 255)
+        if self.supports_packed:
+            from parasuite_tpu.ops.aligner import (align_batch_packed,
+                                                   min_score_table)
+
+            self._ms_table = jax.device_put(min_score_table(cfg))
+            self._align_packed = jax.jit(
+                functools.partial(align_batch_packed, cfg=cfg),
+                static_argnames=("with_counts",))
 
     def set_profile(self, s_tensor: np.ndarray) -> None:
         """Swap in a learned score tensor (pass 2). Same compiled fn — the
@@ -133,6 +145,21 @@ class AlignerEngine:
         jax.tree.map(lambda x: x.copy_to_host_async(), out)
         return out
 
+    def align_device_packed(self, codes: np.ndarray, lengths: np.ndarray,
+                            with_counts: bool = False):
+        """Wire-packed align step (streaming hot path): nibble-packed codes
+        up, PackedResult down — halves the tunnel payload both ways vs
+        align_device. -> PackedResult, or (PackedResult, counts [L,4,4])
+        with the profile matrix fused into the same device call."""
+        from parasuite_tpu.ops.aligner import pack_codes_host
+
+        out = self._align_packed(self.didx, self.sprof,
+                                 pack_codes_host(codes),
+                                 lengths.astype(np.uint16), self._ms_table,
+                                 with_counts=with_counts)
+        jax.tree.map(lambda x: x.copy_to_host_async(), out)
+        return out
+
     def profile_counts_device(self, codes, lengths, res):
         if not hasattr(res, "mapped"):
             res = res[0]
@@ -142,9 +169,13 @@ class AlignerEngine:
     # --- host finishing ---
     def to_host(self, batch: ReadBatch, res) -> HostAlignments:
         """Pull results to host; run tracebacks for the rare gapped reads."""
+        from parasuite_tpu.ops.aligner import PackedResult, unpack_result_host
+
         cfg = self.cfg
         table = None
-        if not hasattr(res, "mapped"):
+        if isinstance(res, PackedResult):
+            res = unpack_result_host(jax.device_get(res))
+        elif not hasattr(res, "mapped"):
             res, table = res
         # one batched fetch: per-field np.asarray would pay a separate
         # device->host round trip each (ruinous over the remote-TPU tunnel:

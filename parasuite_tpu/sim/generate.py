@@ -94,7 +94,26 @@ def simulate_reads(ref: PackedReference, n: int, read_len: int,
     doubles are O(rate^2) — drawn over interior cycles [4, L-4) so the
     alignment's genome START is unchanged by the event and truth comparison
     stays exact (the CIGAR gains a 1I/1D in the middle).
+
+    Runs on the CPU backend when one exists: simulation is benchmark SETUP,
+    and dispatching its unjitted ops (plus the ~G-element valid-starts
+    transfer) over the remote-TPU tunnel measured minutes per call. Threefry
+    streams are platform-deterministic, so outputs do not depend on where
+    this runs.
     """
+    import contextlib
+
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _simulate_impl(ref, n, read_len, cfg, seed, profile_probs,
+                              tc_rate, site_positions, ins_rate, del_rate)
+
+
+def _simulate_impl(ref, n, read_len, cfg, seed, profile_probs, tc_rate,
+                   site_positions, ins_rate, del_rate):
     tc_rate = cfg.sim_tc_rate if tc_rate is None else tc_rate
     seed = cfg.seed if seed is None else seed
     key = jax.random.PRNGKey(seed)

@@ -133,3 +133,32 @@ def test_batch_size_independence(device_state, tiny_ref, tiny_index, small_cfg):
         np.testing.assert_array_equal(np.asarray(getattr(full, f))[:16],
                                       np.asarray(getattr(half1, f)),
                                       err_msg=f)
+
+
+def test_packed_wire_path_bit_identical(device_state, tiny_ref, tiny_index,
+                                        small_cfg):
+    """align_device_packed (nibble codes up, PackedResult down — the tunnel
+    -bandwidth fast path) must reproduce align_batch bit-exactly, including
+    the fused profile-count matrix."""
+    from conftest import sample_reads
+
+    from parasuite_tpu.ops.aligner import unpack_result_host
+    from parasuite_tpu.pipeline import AlignerEngine
+
+    rng = np.random.default_rng(900)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 64, 50, mutate=3)
+    codes[60:] = rng.integers(0, 4, size=(4, 50)).astype(np.int8)
+    lengths[62] = 37  # a short read exercises the uint16 length path
+
+    engine = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    assert engine.supports_packed
+    ref_res = engine.align_device(codes, lengths)
+    ref_counts = engine.profile_counts_device(codes, lengths, ref_res)
+    packed, counts = engine.align_device_packed(codes, lengths,
+                                                with_counts=True)
+    got = unpack_result_host(jax.device_get(packed))
+    for f in ref_res._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref_res, f)),
+            err_msg=f)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
