@@ -190,7 +190,6 @@ int64_t ps_sam_format_batch(
     static const char BASE[5] = {'A', 'C', 'G', 'T', 'N'};
     static const char COMP[5] = {'T', 'G', 'C', 'A', 'N'};
     int64_t w = 0;
-    char tmp[32];
 
     auto put = [&](const char* s, int64_t ln) -> bool {
         if (w + ln > cap) return false;
@@ -198,9 +197,15 @@ int64_t ps_sam_format_batch(
         w += ln;
         return true;
     };
+    // manual itoa: snprintf measured ~10x slower and runs ~10x per record
     auto put_int = [&](int64_t v) -> bool {
-        int ln = snprintf(tmp, sizeof tmp, "%lld", (long long)v);
-        return put(tmp, ln);
+        char tmp[20];
+        if (w + 21 > cap) return false;
+        if (v < 0) { out[w++] = '-'; v = -v; }
+        int ln = 0;
+        do { tmp[ln++] = char('0' + v % 10); v /= 10; } while (v);
+        while (ln) out[w++] = tmp[--ln];
+        return true;
     };
     auto put_c = [&](char c) -> bool {
         if (w + 1 > cap) return false;
@@ -263,31 +268,45 @@ int64_t ps_sam_format_batch(
         put_int(score[i]);
         if (!put("\tMD:Z:", 6)) return -1;
         // MD over a single L-length M run at packed_pos; aligned read =
-        // (revcomp'd if rev) machine read
+        // (revcomp'd if rev) machine read. nm==0 (the common case) needs no
+        // per-base walk: MD is just the match-run length (nm is the device's
+        // parity-tested mismatch count over exactly these bases).
         {
             int64_t p = packed_pos[i];
             if (p < 0 || p + L > ref_len) return -1;
-            int run = 0;
-            for (int32_t k = 0; k < L; ++k) {
-                int rb = ref[p + k];
-                if (rb < 0 || rb > 4) rb = 4;
-                int cb;
+            if (nm[i] == 0) {
+                put_int(L);
+            } else {
+                int run = 0;
                 if (rev) {
-                    int8_t m = crow[L - 1 - k];
-                    cb = (m >= 0 && m < 4) ? 3 - m : 4;
+                    for (int32_t k = 0; k < L; ++k) {
+                        int rb = ref[p + k];
+                        if (rb < 0 || rb > 4) rb = 4;
+                        const int8_t m = crow[L - 1 - k];
+                        const int cb = (m >= 0 && m < 4) ? 3 - m : 4;
+                        if (rb == cb && rb < 4) { ++run; }
+                        else {
+                            put_int(run);
+                            if (!put_c(BASE[rb])) return -1;
+                            run = 0;
+                        }
+                    }
                 } else {
-                    int8_t m = crow[k];
-                    cb = (m >= 0 && m < 4) ? m : 4;
+                    for (int32_t k = 0; k < L; ++k) {
+                        int rb = ref[p + k];
+                        if (rb < 0 || rb > 4) rb = 4;
+                        const int8_t m = crow[k];
+                        const int cb = (m >= 0 && m < 4) ? m : 4;
+                        if (rb == cb && rb < 4) { ++run; }
+                        else {
+                            put_int(run);
+                            if (!put_c(BASE[rb])) return -1;
+                            run = 0;
+                        }
+                    }
                 }
-                if (rb == cb && rb < 4) {
-                    ++run;
-                } else {
-                    put_int(run);
-                    if (!put_c(BASE[rb])) return -1;
-                    run = 0;
-                }
+                put_int(run);
             }
-            put_int(run);
         }
         if (!put_c('\n')) return -1;
     }

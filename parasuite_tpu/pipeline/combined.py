@@ -355,8 +355,10 @@ class CombinedEngine:
         out_x1 = np.zeros(B, dtype=np.int32)
         out_nm = np.zeros(B, dtype=np.int32)
         out_ug = np.ones(B, dtype=bool)
-        out_cigars: list = [[] for _ in range(B)]
         out_tc = np.zeros(B, dtype=np.int32)
+        from parasuite_tpu.pipeline.align import LazyCigars
+        lens0 = np.asarray(batch.lengths)
+        out_cigars = LazyCigars(out_mapped, lens0)
 
         from parasuite_tpu.utils.dna import revcomp_codes as _rc
 
@@ -378,11 +380,8 @@ class CombinedEngine:
         out_ug[fm] = np.asarray(res.ug_equal)[fm]
         out_tc[fm] = np.asarray(res.tc_count)[fm]
         r_diag = np.asarray(res.diag)
-        for b in np.nonzero(fm)[0]:
+        for b in np.nonzero(fm & ~np.asarray(res.ug_equal))[0]:
             ln = int(lens[b])
-            if out_ug[b]:
-                out_cigars[b] = [("M", ln)]
-                continue
             oriented = (batch.codes[b, :ln] if out_strand[b] == 0
                         else _rc(batch.codes[b, :ln]))
             p, cigar, total_nm = host_traceback(
