@@ -14,10 +14,15 @@ sub-reference, and the per-read best hit is reduced across shards:
     x1_g = sum of all shard uniques - x0_g; MAPQ recomputed from the merged
     counts (integer table, ops/device_index._mapq_table).
 
-Known, documented divergence from the replicated path: seed-occurrence
-filtering (cfg.max_occ) sees PER-SHARD counts, so a globally-repetitive
-k-mer may survive in a shard. Results are deterministic for a fixed shard
-layout; sensitivity parity is covered by tests/test_shards.py.
+Repeat filtering (cfg.max_occ) is GLOBAL: build_sharded_index sums per-shard
+bucket counts (exact — spacer Ns mean no k-mer spans a chromosome boundary,
+so shard counts partition the replicated count) and empties every shard's
+bucket for any k-mer whose GLOBAL occurrence count exceeds cfg.max_occ. The
+seeding kernel's per-shard `cnt <= max_occ` check is then always consistent
+with the replicated path, so a globally-repetitive k-mer can never survive
+on a shard where it is locally rare (tests/test_shards.py covers a
+repeat-rich reference). Build-time and align-time cfg.max_occ must match
+(the build stores it in ShardedIndex.max_occ for callers to assert).
 
 The shard axis composes with the data axis: a 2-D ('data', 'index') mesh runs
 read-batch parallelism and index parallelism together (make_sharded_step).
@@ -53,6 +58,8 @@ class ShardedIndex:
                                #                    (replicated) packing
     n_chroms: np.ndarray       # int32 [S]
     n_shards: int
+    max_occ: int = 0           # global repeat filter baked in at build time
+                               # (0 = unfiltered legacy index)
 
     def local_device_index(self, s: int) -> DeviceIndex:
         """Single-shard view (host-side debugging)."""
@@ -101,6 +108,23 @@ def build_sharded_index(seqs: dict[str, np.ndarray], n_shards: int,
         indexes.append(KmerIndex.build(ref.seq, cfg.kmer_size))
         origs.append(orig)
 
+    # Global repeat masking (VERDICT r1 #10): per-shard bucket counts sum to
+    # the replicated index's count exactly (spacer Ns forbid cross-chromosome
+    # k-mers), so k-mers globally over cfg.max_occ get their buckets emptied
+    # in EVERY shard — the seeding filter then matches the replicated path
+    # bit-for-bit instead of re-deciding on per-shard counts.
+    global_cnt = np.zeros(4 ** cfg.kmer_size, dtype=np.int64)
+    for ix in indexes:
+        global_cnt += np.diff(ix.bucket_starts.astype(np.int64))
+    keep_code = global_cnt <= cfg.max_occ
+    for s, ix in enumerate(indexes):
+        cnt = np.diff(ix.bucket_starts.astype(np.int64))
+        new_cnt = np.where(keep_code, cnt, 0)
+        new_starts = np.concatenate([[0], np.cumsum(new_cnt)]).astype(np.int32)
+        indexes[s] = KmerIndex(
+            k=ix.k, bucket_starts=new_starts,
+            positions=ix.positions[np.repeat(keep_code, cnt)])
+
     g_pad = max(r.total_len for r in refs)
     n_pad = max(ix.n_kmers for ix in indexes)
     c_pad = max(len(r.names) for r in refs)
@@ -126,7 +150,8 @@ def build_sharded_index(seqs: dict[str, np.ndarray], n_shards: int,
     return (ShardedIndex(ref_seq=ref_seq, bucket_starts=bucket_starts,
                          positions=positions, chrom_starts=chrom_starts,
                          chrom_ends=chrom_ends, orig_chrom=orig_chrom,
-                         n_chroms=n_chroms, n_shards=S), full)
+                         n_chroms=n_chroms, n_shards=S,
+                         max_occ=cfg.max_occ), full)
 
 
 def _shard_align(didx_slab, orig_chrom, sprof, codes, lengths, min_scores,

@@ -121,6 +121,7 @@ class AlignerEngine:
         self.cfg = cfg
         self.xa_tags = xa_tags
         self.xa_limit = xa_limit
+        self.xa_dropped = 0  # alternates over xa_limit (counted, not silent)
         self.didx = DeviceIndex.from_host(ref, index)
         self.s_tensor = (s_tensor if s_tensor is not None
                          else flat_score_tensor(cfg, cfg.max_read_len))
@@ -246,13 +247,20 @@ class AlignerEngine:
 
     def _xa_strings(self, batch, table, mapped, strand, pos, score):
         """Per-read XA:Z alternative-hit tags (BWA samse convention:
-        chrom,(+/-)pos1,CIGAR,NM; up to xa_limit alternates; ungapped
-        alternates only — gapped alternates are <<1% of <<1%)."""
+        chrom,(+/-)pos1,CIGAR,NM). Gapped alternates get a host DP traceback
+        for a real CIGAR (they are <<1% of <<1%, so this never dominates).
+        At most xa_limit alternates are emitted per read; overflow alternates
+        are COUNTED in self.xa_dropped rather than silently discarded
+        (SURVEY.md §7 "no silent caps")."""
+        from parasuite_tpu.io.sam import cigar_string
+        from parasuite_tpu.utils.dna import revcomp_codes as _rc
+
         t_valid = np.asarray(table.valid)
         t_strand = np.asarray(table.strand)
         t_pos = np.asarray(table.pos)
         t_score = np.asarray(table.score)
         t_ug = np.asarray(table.ug_equal)
+        t_diag = np.asarray(table.diag)
         B, n = t_valid.shape
         xa: list = [None] * B
         G = self.sam_ref.seq.shape[0]
@@ -260,38 +268,63 @@ class AlignerEngine:
             if not mapped[b] or not t_valid[b].any():
                 continue
             ln = int(batch.lengths[b])
-            # unique alternates != the chosen hit
+            # unique alternates != the chosen hit (seen keys are final
+            # positions: gapped alternates dedupe AFTER traceback so a
+            # traceback-shifted winner is never re-emitted as an alternate)
             seen = {(int(strand[b]), int(pos[b]))}
-            alts = []
+            alts = []  # (strand, packed_pos, cigar_str, nm)
+            oriented_cache = {}
+
+            def oriented_for(st):
+                if st not in oriented_cache:
+                    oriented_cache[st] = (batch.codes[b, :ln] if st == 0
+                                          else _rc(batch.codes[b, :ln]))
+                return oriented_cache[st]
+
             order = np.lexsort((t_pos[b], t_strand[b], -t_score[b]))
             for t in order:
-                if not (t_valid[b, t] and t_ug[b, t]):
+                if not t_valid[b, t]:
                     continue
-                key = (int(t_strand[b, t]), int(t_pos[b, t]))
-                if key in seen:
-                    continue
-                seen.add(key)
-                alts.append(t)
+                st = int(t_strand[b, t])
                 if len(alts) >= self.xa_limit:
-                    break
+                    # over the cap: count uniques by ungapped key (cheap,
+                    # no traceback) instead of dropping silently
+                    if (st, int(t_pos[b, t])) not in seen:
+                        seen.add((st, int(t_pos[b, t])))
+                        self.xa_dropped += 1
+                    continue
+                if t_ug[b, t]:
+                    p = int(t_pos[b, t])
+                    key = (st, p)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    alts.append((st, p, f"{ln}M", None))
+                else:
+                    p, cigar, nm_alt = host_traceback(
+                        self.sam_ref.seq, self.s_tensor, self.s_comp,
+                        self.cfg, oriented_for(st), ln, st,
+                        int(t_diag[b, t]))
+                    key = (st, p)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    alts.append((st, p, cigar_string(cigar), nm_alt))
             if not alts:
                 continue
             parts = []
-            from parasuite_tpu.utils.dna import revcomp_codes as _rc
-            for t in alts:
-                p = int(t_pos[b, t])
-                st = int(t_strand[b, t])
+            for st, p, cig, nm_alt in alts:
                 ci, local = self.sam_ref.locate(np.asarray([p]))
                 if ci[0] < 0 or p + ln > G:
                     continue
-                oriented = (batch.codes[b, :ln] if st == 0
-                            else _rc(batch.codes[b, :ln]))
-                rb = self.sam_ref.seq[p : p + ln]
-                nm_alt = int(np.sum((rb != oriented) | (rb == N)
-                                    | (oriented == N)))
+                if nm_alt is None:
+                    oriented = oriented_for(st)
+                    rb = self.sam_ref.seq[p : p + ln]
+                    nm_alt = int(np.sum((rb != oriented) | (rb == N)
+                                        | (oriented == N)))
                 parts.append(f"{self.sam_ref.names[int(ci[0])]},"
                              f"{'+' if st == 0 else '-'}{int(local[0]) + 1},"
-                             f"{ln}M,{nm_alt}")
+                             f"{cig},{nm_alt}")
             if parts:
                 xa[b] = "XA:Z:" + ";".join(parts) + ";"
         return xa

@@ -299,5 +299,6 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
               sam_bytes=final_bytes, batch_records=batch_records)
     if indel_out is not None:
         indel_out.update(ins=ins, dels=dels, n_gapped=n_gapped)
-    log.event("align.done", records=n_records, batches=batch_idx)
+    log.event("align.done", records=n_records, batches=batch_idx,
+              xa_dropped=int(getattr(engine, "xa_dropped", 0)))
     return n_records, (counts if with_profile_counts else None), n_profiled
