@@ -32,7 +32,8 @@ def _cfg_from_args(args) -> "AlignConfig":
 
     kw = {}
     for f in ("max_read_len", "kmer_size", "band_width", "max_candidates",
-              "max_occ", "batch_size", "cluster_min_reads", "seed"):
+              "max_occ", "max_seeds", "seed_stride", "batch_size",
+              "cluster_min_reads", "seed"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -45,6 +46,11 @@ def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--band-width", dest="band_width", type=int)
     p.add_argument("--max-candidates", dest="max_candidates", type=int)
     p.add_argument("--max-occ", dest="max_occ", type=int)
+    p.add_argument("--max-seeds", dest="max_seeds", type=int)
+    p.add_argument("--seed-stride", dest="seed_stride", type=int,
+                   help="offset step between seeds (< kmer-size = "
+                        "overlapping seeds, higher sensitivity; 0 = "
+                        "non-overlapping, the default)")
     p.add_argument("--batch-size", dest="batch_size", type=int)
     p.add_argument("--seed", type=int)
 

@@ -32,7 +32,12 @@ class AlignConfig:
 
     # --- seeding (k-mer hash index; SURVEY.md §7 "Seeding") ---
     kmer_size: int = 12              # k: 4 non-overlapping seeds cover 48bp
-    max_seeds: int = 4               # seeds per read (non-overlapping, offsets s*k)
+    max_seeds: int = 4               # seeds per read at offsets s*stride
+    seed_stride: int = 0             # offset step between seeds; 0 = kmer_size
+                                     # (non-overlapping). Smaller strides give
+                                     # overlapping seeds: a T->C conversion
+                                     # then has to dirty MORE windows to hide
+                                     # a locus (sensitivity knob)
     max_occ: int = 64                # skip seeds whose k-mer occurs more often
     max_candidates: int = 16         # C: candidate diagonals kept per read/strand
 
@@ -71,8 +76,10 @@ class AlignConfig:
     def __post_init__(self) -> None:
         if self.chrom_spacer < self.max_read_len + 2 * self.band_width:
             raise ValueError("chrom_spacer must exceed max_read_len + 2*band_width")
-        if self.kmer_size * self.max_seeds > self.max_read_len:
-            raise ValueError("max_seeds * kmer_size must fit in max_read_len")
+        if self.seed_stride < 0:
+            raise ValueError("seed_stride must be >= 0 (0 = kmer_size)")
+        if (self.max_seeds - 1) * self.stride + self.kmer_size > self.max_read_len:
+            raise ValueError("seed offsets must fit in max_read_len")
         if self.kmer_size > 15:
             raise ValueError("kmer_size > 15 overflows int32 k-mer codes")
         # the Pallas kernel ships per-base scores as int8 (ops/pallas_extend)
@@ -85,6 +92,11 @@ class AlignConfig:
         if self.band > 16:
             raise ValueError("band (2*band_width+1) exceeds the kernel's "
                              "16-sublane band tile")
+
+    @property
+    def stride(self) -> int:
+        """Effective seed offset step (seed_stride, or k when 0)."""
+        return self.seed_stride if self.seed_stride > 0 else self.kmer_size
 
     @property
     def band(self) -> int:

@@ -20,6 +20,73 @@ import numpy as np
 _PAD_QUAL = ord("I")
 
 
+class NameBlock:
+    """Lazy read-name store: one ASCII bytes blob + int64 record offsets.
+
+    The C++ FASTQ scanner emits names in exactly this layout and the C++ SAM
+    formatter consumes it unchanged, so the hot path never materializes
+    per-record Python strings (measured ~0.45us/record of GIL-held Python —
+    the GIL is the whole-pipeline budget since reader/main/writer threads
+    share it). Behaves like a read-only list[str] for the slow paths.
+    """
+
+    __slots__ = ("blob", "off")
+
+    def __init__(self, blob: bytes, off: np.ndarray):
+        self.blob = blob
+        self.off = off  # int64 [n + 1]
+
+    def __len__(self) -> int:
+        return int(self.off.shape[0]) - 1
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start, stop, step = i.indices(len(self))
+            if step != 1:
+                raise ValueError("NameBlock slices must be contiguous")
+            return [self[j] for j in range(start, stop)]
+        return self.blob[int(self.off[i]) : int(self.off[i + 1])].decode(
+            "ascii")
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __eq__(self, other):
+        if isinstance(other, NameBlock):
+            return self.blob == other.blob and np.array_equal(self.off,
+                                                              other.off)
+        if isinstance(other, list):
+            return list(self) == other
+        return NotImplemented
+
+    def raw(self, b: int = 0, e: int | None = None) -> tuple[bytes, np.ndarray]:
+        """(blob, offsets) rebased to records [b, e) — the native formatter's
+        input layout, produced with zero per-record work."""
+        if e is None:
+            e = len(self)
+        o = self.off[b : e + 1]
+        return self.blob[int(o[0]) : int(o[-1])], o - o[0]
+
+    @classmethod
+    def concat(cls, parts: list["NameBlock"]) -> "NameBlock":
+        if len(parts) == 1:
+            return parts[0]
+        blob = b"".join(p.blob for p in parts)
+        offs = [parts[0].off]
+        base = int(parts[0].off[-1])
+        for p in parts[1:]:
+            offs.append(p.off[1:] + base)
+            base += int(p.off[-1])
+        return cls(blob, np.concatenate(offs))
+
+    @classmethod
+    def from_list(cls, names: list[str]) -> "NameBlock":
+        off = np.zeros(len(names) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in names], out=off[1:])
+        return cls("".join(names).encode("ascii"), off)
+
+
 def _quals_matrix(quals, lengths: np.ndarray, b: int, max_len: int) -> np.ndarray:
     mat = np.full((b, max_len), _PAD_QUAL, dtype=np.uint8)
     for i, q in enumerate(quals):

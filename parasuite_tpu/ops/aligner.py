@@ -133,7 +133,7 @@ def orient_reads(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 def seed_diagonals(oriented: jnp.ndarray, lengths: jnp.ndarray,
                    didx: DeviceIndex, cfg: AlignConfig) -> jnp.ndarray:
     """[B, 2, L] -> candidate diagonals [B*2, max_seeds*max_occ] (I32MAX =
-    invalid). Seeds at non-overlapping offsets s*k; k-mers containing N,
+    invalid). Seeds at offsets s*cfg.stride; k-mers containing N,
     absent from the index, or with more than max_occ occurrences are skipped
     (repeat policy, oracle.seed_candidates)."""
     B = oriented.shape[0]
@@ -157,7 +157,7 @@ def seed_diagonals(oriented: jnp.ndarray, lengths: jnp.ndarray,
 
     chunks = []
     for s in range(S):
-        off = s * k
+        off = s * cfg.stride
         win = reads2[:, off : off + k]
         has_n = jnp.any(win == 4, axis=1)
         fits = (off + k) <= len2

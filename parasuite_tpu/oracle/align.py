@@ -7,7 +7,8 @@ reference mounts, reference-concordance calibration happens HERE first
 parity tests.
 
 Alignment model (TPU-shaped, mirrored by ops/):
-  * seeding: non-overlapping k-mer seeds at read offsets s*k, looked up in the
+  * seeding: k-mer seeds at read offsets s*cfg.stride (default stride = k,
+    i.e. non-overlapping; smaller strides overlap seeds), looked up in the
     dense KmerIndex; seeds whose k-mer occurs > cfg.max_occ times are skipped
     (repeat masking, analogous to BWA's seed occurrence cap); candidate
     diagonal = hit_pos - seed_offset; candidates ranked by
@@ -53,7 +54,7 @@ def seed_candidates(read_codes: np.ndarray, read_len: int, index: KmerIndex,
     k = index.k
     diags: list[int] = []
     for s in range(cfg.max_seeds):
-        off = s * k
+        off = s * cfg.stride
         if off + k > read_len:
             break
         window = read_codes[off : off + k]

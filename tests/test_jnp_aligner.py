@@ -162,3 +162,29 @@ def test_packed_wire_path_bit_identical(device_state, tiny_ref, tiny_index,
             np.asarray(getattr(got, f)), np.asarray(getattr(ref_res, f)),
             err_msg=f)
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
+
+
+def test_parity_overlapping_seed_stride(tiny_ref, tiny_index, small_cfg):
+    """seed_stride < k (overlapping seeds) must stay bit-exact vs the oracle
+    and rescue reads whose every non-overlapping seed carries a mutation."""
+    import dataclasses
+
+    cfg = dataclasses.replace(small_cfg, max_seeds=7, seed_stride=6)
+    didx = DeviceIndex.from_host(tiny_ref, tiny_index)
+    s = flat_score_tensor(cfg, cfg.max_read_len)
+    sprof = ScoreParams.from_tensor(s, cfg)
+    fn = jax.jit(functools.partial(align_batch, cfg=cfg))
+
+    rng = np.random.default_rng(104)
+    codes, lengths, truth = sample_reads(rng, tiny_ref, 64, 50, mutate=0)
+    # dirty every NON-overlapping seed window: mutations at 4, 16, 28, 40
+    # hit all of [0,8), [8,16), [16,24), [24,32) for k=8... place one inside
+    # each stride-8 window so the default config would lose every seed
+    for b in range(0, 64, 2):
+        for p in (4, 12, 20, 28):
+            codes[b, p] = (codes[b, p] + 1) % 4
+    res = fn(didx, sprof, codes, lengths, min_scores_host(lengths, cfg))
+    alns = align_batch_oracle(codes, lengths, tiny_ref, tiny_index, s, cfg)
+    _compare(res, alns, cfg, "stride6")
+    # the overlapping-stride config must still map the dirtied reads
+    assert all(alns[b].mapped for b in range(0, 64, 2))
