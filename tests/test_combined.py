@@ -213,6 +213,181 @@ def test_parse_gtf(tmp_path, tx_plus):
     assert len(load_annotation(gtf)) == 2
 
 
+def _reference_refinalize(engine, batch, res, table):
+    """Per-read reference implementation of CombinedEngine's genome-space
+    re-finalization (the pre-vectorization round-2 code, kept here as the
+    executable spec for the lexsort/reduceat slow path)."""
+    import math
+
+    from parasuite_tpu.pipeline.align import host_traceback
+    from parasuite_tpu.pipeline.combined import TX_PREFIX, project_to_genome
+
+    cfg = engine.cfg
+    cref = engine.combined.ref
+    valid = np.asarray(table.valid)
+    strand = np.asarray(table.strand)
+    pos = np.asarray(table.pos)
+    score = np.asarray(table.score)
+    ug_eq = np.asarray(table.ug_equal)
+    diag = np.asarray(table.diag)
+    B, n = valid.shape
+    lens = np.asarray(batch.lengths)
+    any_tx = (valid & (pos >= engine._tx_boundary)).any(axis=1)
+    out = {}
+    tx_rows = np.nonzero(any_tx & (lens > 0))[0]
+    if tx_rows.shape[0] == 0:
+        return out
+    ci_all, local_all = cref.locate(pos[tx_rows].reshape(-1).astype(np.int64))
+    ci_all = ci_all.reshape(-1, n)
+    local_all = local_all.reshape(-1, n)
+    for row_i, b in enumerate(tx_rows):
+        ln = int(lens[b])
+        recs = []
+        for t in range(n):
+            if not valid[b, t]:
+                continue
+            ci = int(ci_all[row_i, t])
+            if ci < 0:
+                continue
+            st = int(strand[b, t])
+            oriented = (batch.codes[b, :ln] if st == 0
+                        else revcomp_codes(batch.codes[b, :ln]))
+            name = cref.names[ci]
+            if ci < engine._n_genome:
+                if ug_eq[b, t]:
+                    p = int(pos[b, t])
+                    if not (p >= cref.starts[ci]
+                            and p + ln - 1 < cref.ends[ci]):
+                        continue
+                    rb = cref.seq[p : p + ln]
+                    nm = int(np.sum((rb != oriented) | (rb == 4)
+                                    | (oriented == 4)))
+                    recs.append((int(score[b, t]), st, ci, p, 0,
+                                 [("M", ln)], nm))
+                else:
+                    p, cigar, nm = host_traceback(
+                        cref.seq, engine.s_tensor, engine.s_comp, cfg,
+                        oriented, ln, st, int(diag[b, t]))
+                    span = sum(l for op, l in cigar if op in "MD")
+                    if not (p >= cref.starts[ci]
+                            and p + span - 1 < cref.ends[ci]):
+                        continue
+                    recs.append((int(score[b, t]), st, ci, p, 0, cigar, nm))
+            else:
+                tx = engine.combined.transcripts[name[len(TX_PREFIX):]]
+                if ug_eq[b, t]:
+                    txp = int(local_all[row_i, t])
+                    cigar0 = [("M", ln)]
+                    p0 = int(pos[b, t])
+                    rb = cref.seq[p0 : p0 + ln]
+                    nm = int(np.sum((rb != oriented) | (rb == 4)
+                                    | (oriented == 4)))
+                else:
+                    p_packed, cigar0, nm = host_traceback(
+                        cref.seq, engine.s_tensor, engine.s_comp, cfg,
+                        oriented, ln, st, int(diag[b, t]))
+                    txp = int(p_packed - cref.starts[ci])
+                    span = sum(l for op, l in cigar0 if op in "MD")
+                    if txp < 0 or txp + span > tx.spliced_len:
+                        continue
+                try:
+                    chrom, gpos, gcigar, gstrand = project_to_genome(
+                        tx, txp, cigar0, st)
+                except ValueError:
+                    continue
+                gci = engine.genome_ref.names.index(chrom)
+                gpacked = int(engine.genome_ref.starts[gci]) + gpos
+                recs.append((int(score[b, t]), gstrand, gci, gpacked, 1,
+                             gcigar, nm))
+        if not recs:
+            continue
+        seen = {}
+        for idx_r, r in enumerate(recs):
+            key = (r[1], r[2], r[3])
+            prev = seen.get(key)
+            if prev is None or r[0] > recs[prev][0] or (
+                    r[0] == recs[prev][0] and r[4] < recs[prev][4]):
+                seen[key] = idx_r
+        uniq = [recs[i] for i in sorted(seen.values())]
+        uniq.sort(key=lambda r: (-r[0], r[1], r[2], r[3], r[4]))
+        best = uniq[0]
+        best_score = best[0]
+        x0 = sum(1 for r in uniq if r[0] == best_score)
+        x1 = len(uniq) - x0
+        mapq = (0 if x0 > 1 else
+                (37 if x1 == 0 else max(0, 23 - int(4.343 * math.log(x1)))))
+        from parasuite_tpu.pipeline.clusters import tc_count_from_cigar
+
+        st = best[1]
+        oriented = (batch.codes[b, :ln] if st == 0
+                    else revcomp_codes(batch.codes[b, :ln]))
+        tc = tc_count_from_cigar(engine.genome_ref.seq, best[3], oriented,
+                                 st, best[5])
+        out[int(b)] = dict(strand=best[1], pos=best[3], score=best_score,
+                           x0=x0, x1=x1, mapq=mapq, nm=best[6],
+                           cigar=best[5], tc=tc)
+    return out
+
+
+def test_slow_path_parity_randomized(genome, tx_plus, tx_minus, small_cfg):
+    """Vectorized _slow_path == per-read reference implementation on a
+    randomized soup of genomic / exonic / junction / mutated / revcomp
+    reads (the pin for VERDICT r2 #2's vectorization)."""
+    import jax
+
+    comb = CombinedReference.build(genome, [tx_plus, tx_minus],
+                                   spacer=small_cfg.chrom_spacer)
+    idx = KmerIndex.build(comb.ref.seq, small_cfg.kmer_size)
+    engine = CombinedEngine(comb, idx, small_cfg)
+    rng = np.random.default_rng(99)
+    spl = {0: splice_transcript(genome, tx_plus),
+           1: splice_transcript(genome, tx_minus)}
+    reads = []
+    for _ in range(96):
+        kind = rng.integers(0, 3)
+        if kind == 0:       # genomic
+            p = int(rng.integers(0, 6000 - 50))
+            r = genome["chrA"][p : p + 50].copy()
+        else:               # transcript (often junction-spanning)
+            s = spl[int(rng.integers(0, 2))]
+            p = int(rng.integers(0, len(s) - 50))
+            r = s[p : p + 50].copy()
+        # T->C-ish mutations
+        for _m in range(int(rng.integers(0, 3))):
+            q = int(rng.integers(0, 50))
+            r[q] = rng.integers(0, 4)
+        if rng.random() < 0.5:
+            r = revcomp_codes(r)
+        reads.append(r)
+    codes = np.stack(reads)
+    lengths = np.full(len(reads), 50, dtype=np.int32)
+    batch = _mk_batch(codes, lengths)
+    res, table = jax.device_get(
+        engine.align_device(batch.codes, batch.lengths))
+    host = engine.to_host(batch, (res, table))
+    ref_out = _reference_refinalize(engine, batch, res, table)
+
+    valid = np.asarray(table.valid)
+    pos = np.asarray(table.pos)
+    any_tx = (valid & (pos >= engine._tx_boundary)).any(axis=1)
+    n_slow = int(any_tx.sum())
+    assert n_slow >= 10, "test world must exercise the slow path"
+    for b in range(len(reads)):
+        if not any_tx[b]:
+            continue
+        if b not in ref_out:
+            assert not host.mapped[b], f"read {b}: expected unmapped"
+            continue
+        e = ref_out[b]
+        got = dict(strand=int(host.strand[b]), pos=int(host.pos[b]),
+                   score=int(host.score[b]), x0=int(host.x0[b]),
+                   x1=int(host.x1[b]), mapq=int(host.mapq[b]),
+                   nm=int(host.nm[b]), cigar=host.cigars[b],
+                   tc=int(host.tc_count[b]))
+        assert host.mapped[b], f"read {b}: expected mapped"
+        assert got == e, f"read {b}: {got} != {e}"
+
+
 def test_md_tag():
     from parasuite_tpu.io.sam import md_tag
     from parasuite_tpu.utils.dna import encode_seq

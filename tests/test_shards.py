@@ -58,8 +58,7 @@ def test_sharded_matches_replicated(multi_chrom_seqs, small_cfg):
     # sharded run on a 2x4 (data x index) mesh
     mesh = make_mesh2(2, 4)
     step = make_sharded_step(cfg, mesh)
-    slabs = (sharded.ref_seq, sharded.bucket_starts, sharded.positions,
-             sharded.chrom_starts, sharded.chrom_ends)
+    slabs = sharded.slabs(cfg)
     out = step(slabs, sharded.orig_chrom, sprof, codes, lengths, ms)
 
     rep_mapped = np.asarray(rep.mapped)
@@ -101,8 +100,7 @@ def test_duplicate_across_shards_x0_merge(small_cfg):
     ms = min_scores_host(lengths, cfg)
     mesh = make_mesh2(1, 2)
     step = make_sharded_step(cfg, mesh)
-    slabs = (sharded.ref_seq, sharded.bucket_starts, sharded.positions,
-             sharded.chrom_starts, sharded.chrom_ends)
+    slabs = sharded.slabs(cfg)
     out = step(slabs, sharded.orig_chrom, sprof, codes, lengths, ms)
     assert bool(out["mapped"][0])
     assert int(out["x0"][0]) == 2
@@ -159,9 +157,15 @@ def test_global_repeat_filter_matches_replicated(small_cfg):
 
     mesh = make_mesh2(1, 2)
     step = make_sharded_step(cfg, mesh)
-    slabs = (sharded.ref_seq, sharded.bucket_starts, sharded.positions,
-             sharded.chrom_starts, sharded.chrom_ends)
+    slabs = sharded.slabs(cfg)
     out = step(slabs, sharded.orig_chrom, sprof, codes, lengths, ms)
+
+    # a mismatched align-time max_occ must fail loudly, not silently diverge
+    # (ADVICE r2 medium)
+    import dataclasses
+
+    with pytest.raises(ValueError, match="max_occ"):
+        sharded.slabs(dataclasses.replace(cfg, max_occ=cfg.max_occ // 2))
 
     rep_mapped = np.asarray(rep.mapped)
     # the repeat read is seed-filtered in the replicated path — the sharded
