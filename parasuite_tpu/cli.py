@@ -245,18 +245,15 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
-def cmd_cluster(args) -> int:
-    from parasuite_tpu.index import PackedReference
+def cluster_columns_python(sam_path, ref):
+    """Per-record SAM ingestion for cluster calling (fallback + parity
+    oracle for native.sam_cluster_columns). -> (pos, span, tc)."""
     from parasuite_tpu.io.sam import cigar_ref_span, read_sam
-    from parasuite_tpu.pipeline.clusters import (call_clusters,
-                                                 tc_count_from_cigar,
-                                                 write_clusters)
+    from parasuite_tpu.pipeline.clusters import tc_count_from_cigar
     from parasuite_tpu.utils.dna import encode_seq
 
-    cfg = _cfg_from_args(args)
-    ref = PackedReference.load(args.index_prefix)
     name_to_idx = {n: i for i, n in enumerate(ref.names)}
-    _, records = read_sam(args.sam)
+    _, records = read_sam(sam_path)
     pos_l, span_l, tc_l = [], [], []
     for r in records:
         if r["flag"] & 0x4 or r["rname"] not in name_to_idx:
@@ -272,11 +269,27 @@ def cmd_cluster(args) -> int:
         pos_l.append(packed)
         span_l.append(span)
         tc_l.append(tc)
-    clusters = call_clusters(ref, np.asarray(pos_l, dtype=np.int64),
-                             np.asarray(span_l, dtype=np.int32),
-                             np.asarray(tc_l, dtype=np.int32), cfg)
+    return (np.asarray(pos_l, dtype=np.int64),
+            np.asarray(span_l, dtype=np.int32),
+            np.asarray(tc_l, dtype=np.int32))
+
+
+def cmd_cluster(args) -> int:
+    from parasuite_tpu import native
+    from parasuite_tpu.index import PackedReference
+    from parasuite_tpu.pipeline.clusters import call_clusters, write_clusters
+
+    cfg = _cfg_from_args(args)
+    ref = PackedReference.load(args.index_prefix)
+    if native.available():
+        # streaming C++ scan: config-5 scale (50M records) ingests at
+        # chunk-buffer speed instead of per-record Python dicts
+        pos, span, tc, _skipped = native.sam_cluster_columns(args.sam, ref)
+    else:
+        pos, span, tc = cluster_columns_python(args.sam, ref)
+    clusters = call_clusters(ref, pos, span, tc, cfg)
     write_clusters(args.out, clusters)
-    print(json.dumps({"tool": "cluster", "alignments": len(pos_l),
+    print(json.dumps({"tool": "cluster", "alignments": int(pos.shape[0]),
                       "clusters": len(clusters)}))
     return 0
 
@@ -314,11 +327,13 @@ def cmd_dist_align(args) -> int:
                 "dist-align --coordinator does not support combined "
                 "genome+transcriptome indexes; use --host-index/--n-hosts "
                 "file-side sharding instead")
-        n, _counts, n_prof = run_distributed_host(
+        n, _counts, n_prof, secs = run_distributed_host(
             engine, args.fastq, args.out_prefix, log=log)
         print(json.dumps({"tool": "dist-align", "host": args.process_id,
                           "n_hosts": args.num_processes, "records": n,
-                          "profiled": n_prof, "mode": "jax.distributed"}))
+                          "profiled": n_prof, "mode": "jax.distributed",
+                          "seconds": round(secs, 3),
+                          "reads_per_second": round(n / max(secs, 1e-9), 1)}))
         return 0
     if args.host_index is None or args.n_hosts is None:
         print("dist-align: --host-index/--n-hosts required (or --coordinator "

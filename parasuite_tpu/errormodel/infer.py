@@ -74,10 +74,14 @@ class ErrorProfile:
     def indel_rates(self) -> tuple[np.ndarray, np.ndarray]:
         """Per-machine-cycle (insertion, deletion) event rates.
 
-        Denominator = reads contributing at that cycle (substitution counts
-        at the cycle plus the gapped reads, which are absent from counts)."""
-        per_cycle = self.counts.sum(axis=(1, 2)).astype(np.float64) + \
-            float(self.n_gapped)
+        Denominator = reads contributing at that cycle. Gapped reads feed
+        the substitution counts through their M segments (SURVEY.md §3.3:
+        the reference's record loop counts every aligned read), so the only
+        read bases missing from counts are the inserted ones — adding
+        ins_counts back makes the denominator exactly the aligned-read count
+        per cycle."""
+        per_cycle = (self.counts.sum(axis=(1, 2)) +
+                     self.ins_counts).astype(np.float64)
         denom = np.maximum(per_cycle, 1.0)
         return (self.ins_counts / denom, self.del_counts / denom)
 
@@ -88,8 +92,7 @@ class ErrorProfile:
         penalty = -profile_scale * log2(rate / 0.25), with additive smoothing
         and clipped to the aligner's int8 kernel feed. Opt-in — the pipeline
         keeps cfg's penalties unless the caller swaps them in explicitly."""
-        total_bases = float(self.counts.sum()) + self.n_gapped * max(
-            self.read_len, 1)
+        total_bases = float(self.counts.sum() + self.ins_counts.sum())
         gap_bases = float(self.ins_counts.sum() + self.del_counts.sum())
         p_gap = (gap_bases + cfg.profile_pseudocount) / max(total_bases, 1.0)
         go = int(np.clip(round(-cfg.profile_scale
@@ -158,9 +161,11 @@ def infer_counts_numpy(read_codes: np.ndarray, lengths: np.ndarray,
     """Oracle count accumulation over ungapped (single-M) alignments.
 
     read_codes [B, L] machine orientation; packed_pos is the alignment start.
-    Gapped alignments (ungapped_only False) are skipped — they are <<1% of
-    PAR-CLIP reads and their M-segment bookkeeping is host-side only
-    (documented divergence; revisit on reference mount).
+    Gapped alignments (ungapped_only False) are skipped HERE — this is the
+    oracle for the device scatter-add, which covers ungapped rows only; the
+    streaming pipelines feed gapped reads' M segments host-side via
+    count_substitutions_from_cigar so the full profile covers every aligned
+    read (SURVEY.md §3.3).
     """
     counts = np.zeros((max_read_len, 4, 4), dtype=np.int64)
     n_used = 0
@@ -185,6 +190,43 @@ def infer_counts_numpy(read_codes: np.ndarray, lengths: np.ndarray,
         np.add.at(counts, (cycle[ok], ref_b[ok], read_b[ok]), 1)
         n_used += 1
     return ErrorProfile(counts=counts, n_reads=n_used)
+
+
+def count_substitutions_from_cigar(ref_seq: np.ndarray, packed_pos: int,
+                                   oriented_read: np.ndarray, read_len: int,
+                                   strand: int, cigar: list,
+                                   counts: np.ndarray) -> None:
+    """Accumulate machine-frame substitution counts over the M segments of
+    one gapped/junction alignment (the <<1% of reads the device's
+    ungapped-only scatter-add skips — SURVEY.md §3.3: the reference's htsjdk
+    loop counts every aligned read's M segments; VERDICT r2 missing #6).
+
+    oriented_read is genome-frame (SAM SEQ order); machine cycle of oriented
+    offset q is q forward / read_len-1-q reverse, with both bases
+    complemented back to machine frame on the reverse strand — identical
+    conventions to infer_counts_numpy. I consumes read only, D/N reference
+    only; positions where either base is N are not counted."""
+    L = counts.shape[0]
+    ri, qi = int(packed_pos), 0
+    for op, oln in cigar:
+        if op == "M":
+            rb = ref_seq[ri : ri + oln].astype(np.int64)
+            cb = oriented_read[qi : qi + oln].astype(np.int64)
+            q = np.arange(qi, qi + oln)
+            if strand == 0:
+                cyc = q
+            else:
+                cyc = read_len - 1 - q
+                rb = COMP[rb].astype(np.int64)
+                cb = COMP[cb].astype(np.int64)
+            ok = (rb < 4) & (cb < 4) & (cyc >= 0) & (cyc < L)
+            np.add.at(counts, (cyc[ok], rb[ok], cb[ok]), 1)
+            ri += oln
+            qi += oln
+        elif op == "I":
+            qi += oln
+        elif op in ("D", "N"):
+            ri += oln
 
 
 def count_indels_from_cigar(cigar: list, read_len: int, strand: int,

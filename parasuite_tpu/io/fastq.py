@@ -113,11 +113,12 @@ def _iter_groups_native(path, batch_size: int, max_len: int):
     commit a truncated record), the raw tail goes to the scanner only at
     EOF."""
     from parasuite_tpu import native
+    from parasuite_tpu.io.batch import NameBlock
 
     codes = np.full((batch_size, max_len), 4, dtype=np.int8)
     lengths = np.zeros(batch_size, dtype=np.int32)
     quals = np.full((batch_size, max_len), ord("I"), dtype=np.uint8)
-    names: list[str] = []
+    name_parts: list[NameBlock] = []
     nfill = 0
     buf = bytearray()
     with _open(path) as fh:
@@ -143,21 +144,21 @@ def _iter_groups_native(path, batch_size: int, max_len: int):
                     codes[nfill:nfill + n] = c[:n]
                     lengths[nfill:nfill + n] = ln[:n]
                     quals[nfill:nfill + n] = q[:n]
-                names.extend(nm)
+                name_parts.append(nm)
                 nfill += n
                 if nfill == batch_size:
-                    yield codes, lengths, names, quals
+                    yield codes, lengths, NameBlock.concat(name_parts), quals
                     codes = np.full((batch_size, max_len), 4, dtype=np.int8)
                     lengths = np.zeros(batch_size, dtype=np.int32)
                     quals = np.full((batch_size, max_len), ord("I"),
                                     dtype=np.uint8)
-                    names, nfill = [], 0
+                    name_parts, nfill = [], 0
             if eof:
                 if buf.strip():
                     raise ValueError(
                         f"trailing unparseable FASTQ bytes: {bytes(buf[:50])!r}")
                 if nfill:
-                    yield codes, lengths, names, quals
+                    yield codes, lengths, NameBlock.concat(name_parts), quals
                 return
 
 

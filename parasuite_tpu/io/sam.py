@@ -188,10 +188,13 @@ class SamWriter:
         self._fh.write(line + "\n")
         self.n_records += 1
 
-    def write_block(self, text: str) -> None:
-        """Pre-formatted newline-terminated records (native fast path)."""
-        self._fh.write(text)
-        self.n_records += text.count("\n")
+    def write_block(self, data) -> None:
+        """Pre-formatted newline-terminated records (native fast path);
+        accepts the native formatter's raw bytes or str."""
+        if isinstance(data, (bytes, bytearray)):
+            data = data.decode("ascii")
+        self._fh.write(data)
+        self.n_records += data.count("\n")
 
     def close(self) -> None:
         self._fh.close()

@@ -36,8 +36,14 @@ def _load():
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.ps_abi_version.restype = ctypes.c_int32
-        if lib.ps_abi_version() != 1:
-            return None
+        if lib.ps_abi_version() != 2:
+            # stale build: rebuild once and retry
+            subprocess.run(["make", "-s", "-B", "-C", str(_DIR)], timeout=120,
+                           capture_output=True, check=True)
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.ps_abi_version.restype = ctypes.c_int32
+            if lib.ps_abi_version() != 2:
+                return None
         lib.ps_kmer_index_build.restype = ctypes.c_int64
         lib.ps_kmer_index_build.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
@@ -79,9 +85,12 @@ def fastq_scan_chunk(buf: bytes, max_reads: int, max_len: int):
     """Parse complete records from a bytes chunk.
 
     -> (n_parsed, consumed_bytes, codes int8 [max_reads, max_len],
-        lengths int32, names list[str], quals uint8 [max_reads, max_len]
-        'I'-padded — the ReadBatch.quals layout, written in place by C++)
+        lengths int32, names NameBlock (raw blob + offsets, zero per-record
+        Python work), quals uint8 [max_reads, max_len] 'I'-padded — the
+        ReadBatch layouts, written in place by C++)
     """
+    from parasuite_tpu.io.batch import NameBlock
+
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -103,20 +112,24 @@ def fastq_scan_chunk(buf: bytes, max_reads: int, max_len: int):
     if n < 0:
         raise ValueError("malformed FASTQ chunk")
     n = int(n)
-    raw = ctypes.string_at(names_buf, int(name_off[n])).decode("ascii")
-    names = [raw[int(name_off[i]):int(name_off[i + 1])] for i in range(n)]
+    names = NameBlock(ctypes.string_at(names_buf, int(name_off[n])),
+                      name_off[: n + 1].copy())
     return n, int(consumed.value), codes, lengths, names, quals
 
 
 def sam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
-                     lengths: np.ndarray, names: list, quals: np.ndarray,
+                     lengths: np.ndarray, names, quals: np.ndarray,
                      rnames: list, flag: np.ndarray, rname_idx: np.ndarray,
                      pos1: np.ndarray, packed_pos: np.ndarray,
                      mapq: np.ndarray, nm: np.ndarray, x0: np.ndarray,
-                     x1: np.ndarray, score: np.ndarray) -> str:
+                     x1: np.ndarray, score: np.ndarray) -> bytes:
     """Format a run of ungapped/unmapped records (bytes identical to
     io.sam.format_record, including the MD tag). Raises if the native
-    library is unavailable — callers fall back to the Python formatter."""
+    library is unavailable — callers fall back to the Python formatter.
+
+    names: either a (blob bytes, offsets int64 [n+1]) pair — the NameBlock
+    raw layout the C++ FASTQ scanner emits, zero per-record work — or a
+    list[str] (joined here, slow-path convenience)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -126,11 +139,16 @@ def sam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
                                             ctypes.c_int64, ctypes.c_int32] \
             + [ctypes.c_void_p] * 17 + [ctypes.c_int64]
         lib.ps_sam_format_batch._configured = True
-    n = len(names)
+    if isinstance(names, tuple):
+        names_b, name_off = names
+        name_off = np.ascontiguousarray(name_off, dtype=np.int64)
+        n = name_off.shape[0] - 1
+    else:
+        n = len(names)
+        names_b = "".join(names).encode("ascii")
+        name_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in names], out=name_off[1:])
     max_len = codes.shape[1]
-    names_b = "".join(names).encode("ascii")
-    name_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum([len(s) for s in names], out=name_off[1:])
     rnames_b = "".join(rnames).encode("ascii")
     rname_off = np.zeros(len(rnames) + 1, dtype=np.int64)
     np.cumsum([len(s) for s in rnames], out=rname_off[1:])
@@ -157,4 +175,94 @@ def sam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
         out, cap)
     if w < 0:
         raise RuntimeError("ps_sam_format_batch failed (buffer/input)")
-    return out.raw[:w].decode("ascii")
+    # raw bytes, no ascii decode/re-encode round trip: writers sink bytes
+    return ctypes.string_at(out, w)
+
+
+def sam_cluster_scan(buf: bytes, ref_seq: np.ndarray, rnames: list,
+                     rname_starts: np.ndarray, max_recs: int):
+    """Scan complete SAM data lines from a bytes chunk into the cluster
+    columns (packed_pos int64, ref_span int32, tc int32) — the C++
+    equivalent of the read_sam + tc_count_from_cigar record loop
+    (SURVEY.md §3.5; parity enforced by tests/test_native.py).
+
+    -> (n, consumed_bytes, pos, span, tc, n_skipped). Skipped = unmapped or
+    unknown-RNAME records."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if not hasattr(lib.ps_sam_cluster_scan, "_configured"):
+        lib.ps_sam_cluster_scan.restype = ctypes.c_int64
+        lib.ps_sam_cluster_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.ps_sam_cluster_scan._configured = True
+    ref_seq = np.ascontiguousarray(ref_seq, dtype=np.int8)
+    rnames_b = "".join(rnames).encode("ascii")
+    rname_off = np.zeros(len(rnames) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in rnames], out=rname_off[1:])
+    starts = np.ascontiguousarray(rname_starts, dtype=np.int64)
+    pos = np.empty(max_recs, dtype=np.int64)
+    span = np.empty(max_recs, dtype=np.int32)
+    tc = np.empty(max_recs, dtype=np.int32)
+    consumed = ctypes.c_int64(0)
+    skipped = ctypes.c_int64(0)
+    n = lib.ps_sam_cluster_scan(
+        buf, len(buf), ref_seq.ctypes.data, ref_seq.shape[0],
+        rnames_b, rname_off.ctypes.data, len(rnames),
+        starts.ctypes.data, max_recs,
+        pos.ctypes.data, span.ctypes.data, tc.ctypes.data,
+        ctypes.byref(consumed), ctypes.byref(skipped))
+    if n < 0:
+        raise ValueError("malformed SAM chunk")
+    n = int(n)
+    return (n, int(consumed.value), pos[:n], span[:n], tc[:n],
+            int(skipped.value))
+
+
+def sam_cluster_columns(path, ref, chunk_bytes: int = 8 << 20):
+    """Stream a SAM file into concatenated cluster columns using the C++
+    scanner. -> (pos int64 [N], span int32 [N], tc int32 [N], n_skipped)."""
+    pos_l, span_l, tc_l = [], [], []
+    n_skipped = 0
+    buf = bytearray()
+    # generous per-chunk record bound: a data line is > 20 bytes
+    with open(path, "rb") as fh:
+        eof = False
+        while True:
+            if not eof:
+                chunk = fh.read(chunk_bytes)
+                if not chunk:
+                    eof = True
+                else:
+                    buf += chunk
+            scan_end = len(buf) if eof else buf.rfind(b"\n") + 1
+            while scan_end > 0:
+                n, consumed, p, s, t, sk = sam_cluster_scan(
+                    bytes(buf[:scan_end]), ref.seq, ref.names, ref.starts,
+                    max_recs=scan_end // 20 + 1)
+                n_skipped += sk
+                if n == 0 and consumed == 0:
+                    break
+                del buf[:consumed]
+                scan_end -= consumed
+                if n:
+                    pos_l.append(p)
+                    span_l.append(s)
+                    tc_l.append(t)
+                if n == 0:
+                    break
+            if eof:
+                if buf.strip():
+                    raise ValueError(
+                        f"trailing unparseable SAM bytes: {bytes(buf[:50])!r}")
+                break
+    if not pos_l:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32),
+                np.zeros(0, dtype=np.int32), n_skipped)
+    return (np.concatenate(pos_l), np.concatenate(span_l),
+            np.concatenate(tc_l), n_skipped)

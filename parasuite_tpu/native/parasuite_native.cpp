@@ -155,7 +155,143 @@ int64_t ps_fastq_scan(const char* buf, int64_t len, int64_t max_reads,
 }
 
 // library version tag for the ctypes wrapper's compatibility check
-int32_t ps_abi_version(void) { return 1; }
+int32_t ps_abi_version(void) { return 2; }
+
+// ---------------------------------------------------------------------------
+// SAM cluster-ingestion scanner (SURVEY.md §3.5; BASELINE config 5 scale).
+// Parses complete SAM data lines from buf and emits, per mapped record with
+// a known RNAME, the three columns cluster calling needs:
+//   out_pos  int64  packed start coordinate
+//   out_span int32  reference bases consumed (M + D + N)
+//   out_tc   int32  machine-frame T->C count over M segments
+//       (genome-frame SEQ vs packed ref: fwd (refT, readC), rev (refA,
+//        readG) — same walk as pipeline/clusters.tc_count_from_cigar)
+// Header lines and unmapped/unknown-RNAME records are skipped (counted in
+// *n_skipped). Stops at max_recs or at an incomplete trailing line.
+// Returns records written, or -1 on malformed input.
+// ---------------------------------------------------------------------------
+int64_t ps_sam_cluster_scan(
+    const char* buf, int64_t len,
+    const int8_t* ref, int64_t ref_len,
+    const char* rnames, const int64_t* rname_off, int64_t n_rnames,
+    const int64_t* rname_starts,
+    int64_t max_recs,
+    int64_t* out_pos, int32_t* out_span, int32_t* out_tc,
+    int64_t* consumed, int64_t* n_skipped) {
+    static int8_t lut[256];
+    static bool lut_init = false;
+    if (!lut_init) {
+        for (int i = 0; i < 256; ++i) lut[i] = 4;
+        lut['A'] = 0; lut['a'] = 0;
+        lut['C'] = 1; lut['c'] = 1;
+        lut['G'] = 2; lut['g'] = 2;
+        lut['T'] = 3; lut['t'] = 3;
+        lut_init = true;
+    }
+    int64_t pos = 0, nrec = 0;
+    int64_t last_ci = -1;  // records cluster by chrom runs: cache the lookup
+    *consumed = 0;
+    *n_skipped = 0;
+    while (nrec < max_recs && pos < len) {
+        int64_t e = pos;
+        while (e < len && buf[e] != '\n') ++e;
+        if (e >= len) break;  // incomplete line
+        const int64_t line_end = (e > pos && buf[e - 1] == '\r') ? e - 1 : e;
+        if (buf[pos] == '@' || line_end == pos) {  // header / blank
+            pos = e + 1; *consumed = pos;
+            continue;
+        }
+        // tokenize the first 10 tab-separated fields
+        int64_t f[11];
+        f[0] = pos;
+        int nf = 1;
+        for (int64_t p = pos; p < line_end && nf < 11; ++p)
+            if (buf[p] == '\t') f[nf++] = p + 1;
+        if (nf < 10) return -1;
+        const int64_t fend_flag = f[2] - 1, fend_rname = f[3] - 1;
+        const int64_t fend_pos = f[4] - 1, fend_cigar = f[6] - 1;
+        // FLAG
+        int64_t flag = 0;
+        for (int64_t p = f[1]; p < fend_flag; ++p) {
+            if (buf[p] < '0' || buf[p] > '9') return -1;
+            flag = flag * 10 + (buf[p] - '0');
+        }
+        if (flag & 0x4) { ++*n_skipped; pos = e + 1; *consumed = pos; continue; }
+        // RNAME lookup (cached; then linear — chrom tables are small)
+        const char* rn = buf + f[2];
+        const int64_t rl = fend_rname - f[2];
+        int64_t ci = -1;
+        if (last_ci >= 0 &&
+            rname_off[last_ci + 1] - rname_off[last_ci] == rl &&
+            std::memcmp(rnames + rname_off[last_ci], rn, size_t(rl)) == 0) {
+            ci = last_ci;
+        } else {
+            for (int64_t c = 0; c < n_rnames; ++c) {
+                if (rname_off[c + 1] - rname_off[c] == rl &&
+                    std::memcmp(rnames + rname_off[c], rn, size_t(rl)) == 0) {
+                    ci = c;
+                    break;
+                }
+            }
+        }
+        if (ci < 0) { ++*n_skipped; pos = e + 1; *consumed = pos; continue; }
+        last_ci = ci;
+        // POS (1-based)
+        int64_t p1 = 0;
+        for (int64_t p = f[3]; p < fend_pos; ++p) {
+            if (buf[p] < '0' || buf[p] > '9') return -1;
+            p1 = p1 * 10 + (buf[p] - '0');
+        }
+        const int64_t packed = rname_starts[ci] + p1 - 1;
+        // CIGAR walk + T->C over M segments against SEQ (field 10)
+        const bool rev = (flag & 0x10) != 0;
+        int64_t ri = packed;
+        const char* seq = buf + f[9];
+        const int64_t qlen = f[10] - 1 - f[9];
+        int64_t qi = 0;
+        int64_t span = 0;
+        int32_t tc = 0;
+        bool ok = true;
+        int64_t p = f[5];
+        if (p < fend_cigar && buf[p] == '*') { ++*n_skipped; pos = e + 1; *consumed = pos; continue; }
+        while (p < fend_cigar) {
+            int64_t ln = 0;
+            while (p < fend_cigar && buf[p] >= '0' && buf[p] <= '9')
+                ln = ln * 10 + (buf[p++] - '0');
+            if (p >= fend_cigar || ln <= 0) { ok = false; break; }
+            const char op = buf[p++];
+            if (op == 'M' || op == '=' || op == 'X') {
+                if (ri < 0 || ri + ln > ref_len || qi + ln > qlen) {
+                    ok = false;
+                    break;
+                }
+                if (rev) {
+                    for (int64_t k = 0; k < ln; ++k)
+                        tc += (ref[ri + k] == 0) & (lut[uint8_t(seq[qi + k])] == 2);
+                } else {
+                    for (int64_t k = 0; k < ln; ++k)
+                        tc += (ref[ri + k] == 3) & (lut[uint8_t(seq[qi + k])] == 1);
+                }
+                ri += ln; qi += ln; span += ln;
+            } else if (op == 'I' || op == 'S') {
+                qi += ln;
+            } else if (op == 'D' || op == 'N') {
+                ri += ln; span += ln;
+            } else {
+                ok = false;
+                break;
+            }
+        }
+        if (!ok) return -1;
+        out_pos[nrec] = packed;
+        out_span[nrec] = int32_t(span);
+        out_tc[nrec] = tc;
+        ++nrec;
+        pos = e + 1;
+        *consumed = pos;
+    }
+    return nrec;
+}
 
 }  // extern "C"
 

@@ -105,6 +105,7 @@ def run_distributed_host(engine, fastq, out_prefix, *,
               if with_profile_counts else None)
     ins = np.zeros(L, dtype=np.int64)
     dels = np.zeros(L, dtype=np.int64)
+    gsub = np.zeros((L, 4, 4), dtype=np.int64)  # local gapped M-segment subs
     n_gapped = 0
     n_records = 0
     n_profiled = 0
@@ -112,16 +113,76 @@ def run_distributed_host(engine, fastq, out_prefix, *,
 
     empty = ReadBatch(codes=np.full((B, L), 4, dtype=np.int8),
                       lengths=np.zeros(B, dtype=np.int32))
+    # lockstep warmup: every process compiles the step on an all-padding
+    # batch so the timed loop below measures the collectives, not the
+    # compile (the scaling-efficiency point in tools/bench_distributed.py
+    # needs steady-state numbers)
+    import time
+
+    jax.block_until_ready(step(
+        didx_g, sprof_g,
+        to_global(empty.codes, data_sh, B * nproc),
+        to_global(empty.lengths, data_sh, B * nproc),
+        to_global(min_scores_host(empty.lengths, cfg), data_sh, B * nproc)))
+    t0 = time.perf_counter()
     it = iter_fastq_batches(fastq, B, L, stride_shards=nproc, shard_index=pid)
     with open(shard, "wb") as fh:
         class _W:
             def write(self, line):
                 fh.write(line.encode("ascii") + b"\n")
 
-            def write_block(self, text):
-                fh.write(text.encode("ascii"))
+            def write_block(self, data):
+                fh.write(data if isinstance(data, bytes)
+                         else data.encode("ascii"))
 
         writer = _W()
+
+        def drain(pend):
+            """Host half of one step: fetch, finalize, count, emit."""
+            nonlocal n_records, n_profiled, n_gapped, counts
+            batch, out, real, g = pend
+            res, c = out if with_profile_counts else (out, None)
+            if with_profile_counts:
+                counts += _replicated_view(c).astype(np.int64)
+            # this process's rows of the global sharded AlignResult
+            local_res = type(res)(*[_local_view(x) for x in res])
+            if not real:
+                return
+            host = engine.to_host(batch, local_res)
+            if with_profile_counts:
+                from parasuite_tpu.errormodel.infer import (
+                    count_substitutions_from_cigar)
+                from parasuite_tpu.utils.dna import revcomp_codes
+
+                n_profiled += int((host.mapped & (batch.lengths > 0)).sum())
+                for b in range(batch.n_real):
+                    if host.mapped[b] and not host.ug_equal[b]:
+                        ln = int(batch.lengths[b])
+                        st = int(host.strand[b])
+                        count_indels_from_cigar(
+                            host.cigars[b], ln, st, ins, dels)
+                        # gapped substitution counts are LOCAL host work —
+                        # the in-step psum carries only the device's
+                        # ungapped matrix, so they ride the per-shard indels
+                        # file (merge_host_outputs sums them), NOT `counts`
+                        # (which is global and saved by process 0 alone)
+                        oriented = (batch.codes[b, :ln] if st == 0 else
+                                    revcomp_codes(batch.codes[b, :ln]))
+                        count_substitutions_from_cigar(
+                            engine.sam_ref.seq, int(host.pos[b]), oriented,
+                            ln, st, host.cigars[b], gsub)
+                        n_gapped += 1
+            engine.emit_sam(batch, host, writer)
+            n_records += batch.n_real
+            batch_records.append(batch.n_real)
+            log.event("dist.batch", step=g, reads=batch.n_real,
+                      records=n_records)
+
+        # double-buffered loop: dispatch step g+1 before draining step g so
+        # the host half (to_host/emit_sam/counts) overlaps the device step —
+        # dispatch order stays identical on every process (lockstep
+        # collectives contract), only the host work shifts one step later
+        pend = None
         for _g in range(n_steps):
             batch = next(it, None)
             real = batch is not None
@@ -132,30 +193,11 @@ def run_distributed_host(engine, fastq, out_prefix, *,
             ms_g = to_global(min_scores_host(batch.lengths, cfg), data_sh,
                              B * nproc)
             out = step(didx_g, sprof_g, codes_g, lens_g, ms_g)
-            res, c = out if with_profile_counts else (out, None)
-            if with_profile_counts:
-                counts += _replicated_view(c).astype(np.int64)
-            # this process's rows of the global sharded AlignResult
-            local_res = type(res)(*[_local_view(x) for x in res])
-            if not real:
-                continue
-            if with_profile_counts:
-                n_profiled += int((np.asarray(local_res.mapped)
-                                   & np.asarray(local_res.ug_equal)
-                                   & (batch.lengths > 0)).sum())
-            host = engine.to_host(batch, local_res)
-            if with_profile_counts:
-                for b in range(batch.n_real):
-                    if host.mapped[b] and not host.ug_equal[b]:
-                        count_indels_from_cigar(
-                            host.cigars[b], int(batch.lengths[b]),
-                            int(host.strand[b]), ins, dels)
-                        n_gapped += 1
-            engine.emit_sam(batch, host, writer)
-            n_records += batch.n_real
-            batch_records.append(batch.n_real)
-            log.event("dist.batch", step=_g, reads=batch.n_real,
-                      records=n_records)
+            if pend is not None:
+                drain(pend)
+            pend = (batch, out, real, _g)
+        if pend is not None:
+            drain(pend)
 
     if with_profile_counts:
         # the in-step psum already folded every process's contribution, so
@@ -166,10 +208,14 @@ def run_distributed_host(engine, fastq, out_prefix, *,
         # own and the merge sums them.
         if pid == 0:
             np.save(shard + ".counts.npy", counts)
+        # returned counts = the global psum'd ungapped matrix; each shard's
+        # local gapped contributions live in its indels file until the merge
         np.savez(shard + ".indels.npz", ins=ins, dels=dels,
-                 n_gapped=np.int64(n_gapped))
+                 n_gapped=np.int64(n_gapped), gsub=gsub)
+    elapsed = time.perf_counter() - t0
     Path(shard + ".done.json").write_text(json.dumps(
         {"records": n_records, "profiled": n_profiled,
          "batch_records": batch_records}))
-    log.event("dist.done", records=n_records, steps=n_steps)
-    return n_records, counts, n_profiled
+    log.event("dist.done", records=n_records, steps=n_steps,
+              seconds=round(elapsed, 3))
+    return n_records, counts, n_profiled, elapsed

@@ -98,6 +98,10 @@ def merge_host_outputs(ref, out_prefix, out_sam, n_hosts: int,
             ins = z["ins"] if ins is None else ins + z["ins"]
             dels = z["dels"] if dels is None else dels + z["dels"]
             n_gapped += int(z["n_gapped"])
+            if "gsub" in z and total is not None:
+                # jax.distributed shards: gapped M-segment substitution
+                # counts are local host work outside the in-step psum
+                total = total + z["gsub"]
     profile = (ErrorProfile(counts=total, n_reads=n_prof, ins_counts=ins,
                             del_counts=dels, n_gapped=n_gapped)
                if total is not None else None)

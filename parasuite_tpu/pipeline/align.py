@@ -330,11 +330,14 @@ class AlignerEngine:
         return xa
 
     def gapped_indel_counts(self, batch: ReadBatch, res, ins_counts,
-                            del_counts) -> int:
-        """Accumulate indel events from this batch's gapped alignments
-        (host tracebacks; <<1% of reads). Feeds ErrorProfile.ins/del_counts
-        during pass-1 inference. Returns the number of gapped reads used."""
-        from parasuite_tpu.errormodel.infer import count_indels_from_cigar
+                            del_counts, sub_counts=None) -> int:
+        """Accumulate indel events — and, when sub_counts is given, the
+        M-segment substitution counts — from this batch's gapped alignments
+        (host tracebacks; <<1% of reads). Feeds ErrorProfile during pass-1
+        inference so every aligned read contributes, like the reference's
+        record loop (SURVEY.md §3.3). Returns the number of gapped reads."""
+        from parasuite_tpu.errormodel.infer import (
+            count_indels_from_cigar, count_substitutions_from_cigar)
 
         if not hasattr(res, "mapped"):
             res = res[0]
@@ -349,11 +352,15 @@ class AlignerEngine:
             ln = int(batch.lengths[b])
             oriented = (batch.codes[b, :ln] if strand[b] == 0
                         else revcomp_codes(batch.codes[b, :ln]))
-            _pos, cigar, _nm = host_traceback(
+            pos, cigar, _nm = host_traceback(
                 self.ref.seq, self.s_tensor, self.s_comp, self.cfg, oriented,
                 ln, int(strand[b]), int(diag[b]))
             count_indels_from_cigar(cigar, ln, int(strand[b]), ins_counts,
                                     del_counts)
+            if sub_counts is not None:
+                count_substitutions_from_cigar(
+                    self.ref.seq, pos, oriented, ln, int(strand[b]), cigar,
+                    sub_counts)
             n_gapped += 1
         return n_gapped
 
@@ -406,8 +413,9 @@ class AlignerEngine:
             nm=int(host.nm[b]), x0=int(host.x0[b]), x1=int(host.x1[b]),
             extra_tags=extra)
 
-    def _format_native_run(self, batch, host, b, e) -> str:
+    def _format_native_run(self, batch, host, b, e) -> bytes:
         from parasuite_tpu import native
+        from parasuite_tpu.io.batch import NameBlock
 
         sl = slice(b, e)
         quals = batch.quals[sl]  # already the [n, L] uint8 layout
@@ -416,9 +424,13 @@ class AlignerEngine:
         flag = np.where(mapped, np.where(strand == 1, 16, 0), 4)
         pos = host.pos[sl].astype(np.int64)
         ci, local = self.sam_ref.locate(np.where(mapped, pos, 0))
+        # NameBlock.raw: (blob, offsets) pass-through, zero per-record work;
+        # list[str] batches (tests/tools) join inside sam_format_batch
+        names = (batch.names.raw(b, e)
+                 if isinstance(batch.names, NameBlock) else batch.names[b:e])
         return native.sam_format_batch(
             self.sam_ref.seq, batch.codes[sl], batch.lengths[sl],
-            batch.names[b:e], quals, self.sam_ref.names,
+            names, quals, self.sam_ref.names,
             flag, np.maximum(ci, 0), (local + 1).astype(np.int32),
             pos, host.mapq[sl], host.nm[sl], host.x0[sl], host.x1[sl],
             host.score[sl])

@@ -111,7 +111,8 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
     CIGARs) are accumulated too; pass indel_out={} to receive
     {"ins", "dels", "n_gapped"} (SURVEY.md §2 component 3 indel rates).
     """
-    from parasuite_tpu.errormodel.infer import count_indels_from_cigar
+    from parasuite_tpu.errormodel.infer import (
+        count_indels_from_cigar, count_substitutions_from_cigar)
 
     cfg = engine.cfg
     ckpt = StreamCheckpoint(out_sam, cfg)
@@ -156,8 +157,10 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
             def write(self, line):
                 fh.write(line.encode("ascii") + b"\n")
 
-            def write_block(self, text):
-                fh.write(text.encode("ascii"))
+            def write_block(self, data):
+                # native formatter emits raw bytes; str kept for tools
+                fh.write(data if isinstance(data, bytes)
+                         else data.encode("ascii"))
 
         writer = _FhWriter()
         batch_idx = 0
@@ -232,14 +235,27 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
                 counts += np.asarray(c, dtype=np.int64)
             host = engine.to_host(batch, res)
             if with_profile_counts:
-                n_profiled += int((host.mapped & host.ug_equal
-                                   & (batch.lengths > 0)).sum())
-                # indel events from the gapped CIGARs to_host already built
+                # every aligned read contributes to the profile: ungapped
+                # via the device scatter-add, gapped below via their CIGARs
+                n_profiled += int((host.mapped
+                                   & (batch.lengths[:len(host.mapped)] > 0)
+                                   ).sum())
+                # indel events + M-segment substitution counts from the
+                # gapped CIGARs to_host already built (SURVEY.md §3.3: the
+                # reference's record loop counts every aligned read)
+                from parasuite_tpu.utils.dna import revcomp_codes
+
                 for b in range(batch.n_real):
                     if host.mapped[b] and not host.ug_equal[b]:
+                        ln = int(batch.lengths[b])
+                        st = int(host.strand[b])
                         count_indels_from_cigar(
-                            host.cigars[b], int(batch.lengths[b]),
-                            int(host.strand[b]), ins, dels)
+                            host.cigars[b], ln, st, ins, dels)
+                        oriented = (batch.codes[b, :ln] if st == 0 else
+                                    revcomp_codes(batch.codes[b, :ln]))
+                        count_substitutions_from_cigar(
+                            engine.sam_ref.seq, int(host.pos[b]), oriented,
+                            ln, st, host.cigars[b], counts)
                         n_gapped += 1
             snap = {"profiled": n_profiled,
                     "counts": counts.copy() if with_profile_counts else None,

@@ -34,11 +34,12 @@ def infer_profile_streaming(engine: AlignerEngine,
     for batch in batches:
         res = engine.align_device(batch.codes, batch.lengths)
         counts = engine.profile_counts_device(batch.codes, batch.lengths, res)
-        n_gapped += engine.gapped_indel_counts(batch, res, ins, dels)
+        n_gapped += engine.gapped_indel_counts(batch, res, ins, dels,
+                                               sub_counts=total)
         total += np.asarray(counts, dtype=np.int64)
         r = res if hasattr(res, "mapped") else res[0]
-        n_reads += int(np.asarray(
-            r.mapped & r.ug_equal & (batch.lengths > 0)).sum())
+        # every aligned read contributes (gapped M segments included)
+        n_reads += int(np.asarray(r.mapped & (batch.lengths > 0)).sum())
     return ErrorProfile(counts=total, n_reads=n_reads, ins_counts=ins,
                         del_counts=dels, n_gapped=n_gapped)
 

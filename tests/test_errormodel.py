@@ -62,9 +62,15 @@ def test_indel_counting_and_rates(small_cfg):
     count_indels_from_cigar([("M", 5), ("D", 1), ("M", 45)], 50, 1, ins, dels)
     assert dels[44] == 1 and dels.sum() == 1
 
+    # 100 aligned reads, gapped included in counts (new SURVEY §3.3
+    # semantics): the insertion read contributes no M base at its inserted
+    # cycles 10/11, so counts there are 99 and ins_counts restores the
+    # denominator to the aligned-read count
     counts = np.zeros((L, 4, 4), dtype=np.int64)
-    counts[:, 0, 0] = 98  # 98 ungapped reads' worth of A matches
-    p = ErrorProfile(counts=counts, n_reads=98, ins_counts=ins,
+    counts[:, 0, 0] = 100
+    counts[10, 0, 0] = 99
+    counts[11, 0, 0] = 99
+    p = ErrorProfile(counts=counts, n_reads=100, ins_counts=ins,
                      del_counts=dels, n_gapped=2)
     ir, dr = p.indel_rates()
     assert abs(ir[10] - 1 / 100) < 1e-12
@@ -162,3 +168,57 @@ def test_inference_strand_symmetry(tiny_ref, tiny_index, small_cfg):
     off_diag = prof.counts.sum(axis=0) * (1 - np.eye(4, dtype=np.int64))
     # the dominant substitution must be T->C
     assert off_diag.argmax() == 4 * T + C
+
+
+def test_gapped_reads_feed_substitution_counts(tiny_ref, tiny_index,
+                                               small_cfg):
+    """Gapped alignments' M segments must enter the substitution profile
+    (SURVEY.md §3.3: the reference counts every aligned read; VERDICT r2
+    missing #6) — both through infer_profile_streaming and through the
+    streaming_align drain."""
+    import tempfile
+    from pathlib import Path
+
+    from parasuite_tpu.io.batch import ReadBatch
+    from parasuite_tpu.io.fastq import write_fastq
+    from parasuite_tpu.pipeline.align import AlignerEngine
+    from parasuite_tpu.pipeline.stream import streaming_align
+    from parasuite_tpu.pipeline.two_pass import infer_profile_streaming
+
+    rng = np.random.default_rng(78)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 32, 50, mutate=0,
+                                     revcomp_frac=0.5)
+    # half the reads carry a deletion at offset 20 (gapped winners)
+    for b in range(0, 32, 2):
+        codes[b, 20:-1] = codes[b, 21:]
+        codes[b, int(lengths[b]) - 1] = 4
+        lengths[b] -= 1
+    batch = ReadBatch(names=[f"r{i}" for i in range(32)], codes=codes,
+                      lengths=lengths,
+                      quals=[b"I" * int(l) for l in lengths])
+    engine = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    host = engine.align_to_host(batch)
+    gapped = host.mapped & ~host.ug_equal
+    assert gapped.sum() >= 10
+
+    prof = infer_profile_streaming(engine, [batch])
+    # per-cycle totals must include the gapped reads: without them cycle 0
+    # would hold only the ungapped mapped count
+    n_mapped = int(host.mapped.sum())
+    assert prof.counts.sum(axis=(1, 2))[0] == n_mapped
+    assert prof.n_reads == n_mapped
+
+    # matches on the M segments: total bases ~ sum of aligned M lengths
+    m_bases = sum(
+        sum(ln for op, ln in host.cigars[b] if op == "M")
+        for b in range(32) if host.mapped[b])
+    assert prof.counts.sum() == m_bases
+
+    # the streaming_align drain path must produce the identical profile
+    with tempfile.TemporaryDirectory() as td:
+        fastq = Path(td) / "r.fastq"
+        write_fastq(fastq, [f"r{i}" for i in range(32)], codes, lengths)
+        _n, counts2, n_prof2 = streaming_align(
+            engine, fastq, Path(td) / "out.sam", with_profile_counts=True)
+    np.testing.assert_array_equal(counts2, prof.counts)
+    assert n_prof2 == prof.n_reads

@@ -93,7 +93,8 @@ def test_sam_formatter_parity(tiny_ref, tiny_index, small_cfg):
         def __init__(self, with_block):
             self.text = []
             if with_block:
-                self.write_block = lambda t: self.text.append(t)
+                self.write_block = lambda t: self.text.append(
+                    t.decode("ascii") if isinstance(t, bytes) else t)
 
         def write(self, line):
             self.text.append(line + "\n")
@@ -107,3 +108,87 @@ def test_sam_formatter_parity(tiny_ref, tiny_index, small_cfg):
     engine.emit_sam(batch, host, nat_w)
     assert nat_w.result() == py_w.result()
     assert py_w.result().count("\n") == 40
+
+
+def test_sam_cluster_scan_parity(tmp_path, tiny_ref, tiny_index, small_cfg):
+    """Native SAM cluster ingestion must match the Python record loop on a
+    SAM containing fwd/rev, mismatched, junction (N), gapped (I/D), and
+    unmapped records (SURVEY.md §3.5; VERDICT r2 weak #6)."""
+    from parasuite_tpu.cli import cluster_columns_python
+    from parasuite_tpu.io.batch import ReadBatch
+    from parasuite_tpu.io.sam import SamWriter, format_record
+    from parasuite_tpu.pipeline import AlignerEngine
+    from conftest import sample_reads
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(701)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 60, 50, mutate=3)
+    codes[55:] = rng.integers(0, 4, size=(5, 50)).astype(np.int8)
+    names = [f"q{i}" for i in range(60)]
+    batch = ReadBatch(codes=codes, lengths=lengths, names=names,
+                      quals=[b"I" * 50] * 60)
+    engine = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    host = engine.align_to_host(batch)
+    sam = tmp_path / "mix.sam"
+    with SamWriter(sam, tiny_ref) as w:
+        engine.emit_sam(batch, host, w)
+        # hand-built junction + gapped records exercise N/I/D walks
+        jread = np.concatenate([tiny_ref.seq[100:125], tiny_ref.seq[325:350]])
+        w.write(format_record(
+            "junc", jread, 50, b"I" * 50, tiny_ref, mapped=True, strand=0,
+            packed_pos=100, mapq=37,
+            cigar=[("M", 25), ("N", 200), ("M", 25)], score=100, nm=0,
+            x0=1, x1=0))
+        gread = np.concatenate([tiny_ref.seq[500:525], tiny_ref.seq[527:552]])
+        w.write(format_record(
+            "gap", gread, 50, b"I" * 50, tiny_ref, mapped=True, strand=0,
+            packed_pos=500, mapq=37,
+            cigar=[("M", 25), ("D", 2), ("M", 25)], score=90, nm=2,
+            x0=1, x1=0))
+
+    pos_py, span_py, tc_py = cluster_columns_python(sam, tiny_ref)
+    pos_n, span_n, tc_n, skipped = native.sam_cluster_columns(
+        sam, tiny_ref, chunk_bytes=777)  # tiny chunks: boundary handling
+    np.testing.assert_array_equal(pos_n, pos_py)
+    np.testing.assert_array_equal(span_n, span_py)
+    np.testing.assert_array_equal(tc_n, tc_py)
+    n_unmapped = int((~host.mapped[:60]).sum())
+    assert skipped == n_unmapped
+    assert span_py[pos_py == 100][0] == 250  # junction span includes N
+
+
+def test_sam_cluster_scan_speed_perf_mode(tmp_path, tiny_ref):
+    """Config-5-scale ingestion check: 1M records in seconds, gated behind
+    PARASUITE_PERF=1 (VERDICT r2 next-round #7)."""
+    import os
+    import time
+
+    if not os.environ.get("PARASUITE_PERF"):
+        pytest.skip("set PARASUITE_PERF=1 for perf assertions")
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(702)
+    n = 1_000_000
+    starts = rng.integers(int(tiny_ref.starts[0]),
+                          int(tiny_ref.ends[0]) - 50, n)
+    sam = tmp_path / "big.sam"
+    from parasuite_tpu.utils.dna import decode_seq
+
+    with open(sam, "w") as fh:
+        for i in range(0, n, 10000):
+            lines = []
+            for k in range(i, min(i + 10000, n)):
+                p = int(starts[k])
+                seq = decode_seq(tiny_ref.seq[p:p + 50])
+                lines.append(f"q{k}\t0\tchrA\t{p - int(tiny_ref.starts[0]) + 1}"
+                             f"\t37\t50M\t*\t0\t0\t{seq}\t{'I' * 50}\tNM:i:0")
+            fh.write("\n".join(lines) + "\n")
+    t0 = time.perf_counter()
+    pos, span, tc, skipped = native.sam_cluster_columns(sam, tiny_ref)
+    dt = time.perf_counter() - t0
+    assert pos.shape[0] == n and skipped == 0
+    assert dt < 10.0, f"1M-record ingestion took {dt:.1f}s"
+    print(f"1M records ingested in {dt:.2f}s "
+          f"({n / dt / 1e6:.2f}M rec/s)")
