@@ -132,8 +132,9 @@ def _iter_groups_native(path, batch_size: int, max_len: int):
                     buf += chunk
             scan_end = len(buf) if eof else buf.rfind(b"\n") + 1
             while scan_end > 0:
+                # in-place scan of the line-complete prefix (no copy)
                 n, consumed, c, ln, nm, q = native.fastq_scan_chunk(
-                    bytes(buf[:scan_end]), batch_size - nfill, max_len)
+                    buf, batch_size - nfill, max_len, length=scan_end)
                 if n == 0:
                     break
                 del buf[:consumed]

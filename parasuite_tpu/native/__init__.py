@@ -81,13 +81,18 @@ def kmer_index_build(seq: np.ndarray, k: int):
     return bucket_starts, positions[:n].copy()
 
 
-def fastq_scan_chunk(buf: bytes, max_reads: int, max_len: int):
-    """Parse complete records from a bytes chunk.
+def fastq_scan_chunk(buf, max_reads: int, max_len: int,
+                     length: int | None = None):
+    """Parse complete records from a bytes/bytearray chunk.
 
     -> (n_parsed, consumed_bytes, codes int8 [max_reads, max_len],
         lengths int32, names NameBlock (raw blob + offsets, zero per-record
         Python work), quals uint8 [max_reads, max_len] 'I'-padded — the
         ReadBatch layouts, written in place by C++)
+
+    A bytearray is scanned IN PLACE (no copy — the streaming reader's
+    multi-MB buffer would otherwise be re-copied on every call); `length`
+    restricts the scan to a prefix (line-complete region mid-file).
     """
     from parasuite_tpu.io.batch import NameBlock
 
@@ -103,12 +108,22 @@ def fastq_scan_chunk(buf: bytes, max_reads: int, max_len: int):
     names_buf = ctypes.create_string_buffer(names_cap)
     name_off = np.zeros(max_reads + 1, dtype=np.int64)
     consumed = ctypes.c_int64(0)
-    n = lib.ps_fastq_scan(
-        buf, len(buf), max_reads, max_len,
-        codes.ctypes.data, lengths.ctypes.data,
-        ctypes.addressof(names_buf), names_cap,
-        name_off.ctypes.data, quals.ctypes.data,
-        ctypes.byref(consumed))
+    scan_len = len(buf) if length is None else min(length, len(buf))
+    if isinstance(buf, bytearray):
+        view = (ctypes.c_char * len(buf)).from_buffer(buf)
+        addr = ctypes.addressof(view)
+    else:
+        view = None
+        addr = buf
+    try:
+        n = lib.ps_fastq_scan(
+            addr, scan_len, max_reads, max_len,
+            codes.ctypes.data, lengths.ctypes.data,
+            ctypes.addressof(names_buf), names_cap,
+            name_off.ctypes.data, quals.ctypes.data,
+            ctypes.byref(consumed))
+    finally:
+        del view  # release the bytearray export before the caller resizes it
     if n < 0:
         raise ValueError("malformed FASTQ chunk")
     n = int(n)

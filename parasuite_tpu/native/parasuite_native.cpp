@@ -100,6 +100,14 @@ int64_t ps_fastq_scan(const char* buf, int64_t len, int64_t max_reads,
         lut['T'] = 3; lut['t'] = 3;
         lut_init = true;
     }
+    // memchr line scanning: SIMD newline search beats the byte loop ~8x on
+    // the 4 MB streaming chunks (the reader thread is a measured pipeline
+    // stage — tools/profile_e2e.py)
+    auto find_nl = [&](int64_t from) -> int64_t {
+        if (from >= len) return len;
+        const void* hit = std::memchr(buf + from, '\n', size_t(len - from));
+        return hit ? int64_t(static_cast<const char*>(hit) - buf) : len;
+    };
     int64_t pos = 0, nrec = 0, namew = name_off[0];
     *consumed = 0;
     while (nrec < max_reads) {
@@ -108,15 +116,15 @@ int64_t ps_fastq_scan(const char* buf, int64_t len, int64_t max_reads,
         while (p < len && (buf[p] == '\n' || buf[p] == '\r')) ++p;
         if (p >= len) break;
         if (buf[p] != '@') return -1;
-        int64_t h0 = p + 1, h1 = h0;
-        while (h1 < len && buf[h1] != '\n') ++h1;
+        int64_t h0 = p + 1;
+        int64_t h1 = find_nl(h0);
         if (h1 >= len) break;  // incomplete record
         int64_t tok = h0;
         while (tok < h1 && buf[tok] != ' ' && buf[tok] != '\t'
                && buf[tok] != '\r') ++tok;
         // line 2: sequence
-        int64_t s0 = h1 + 1, s1 = s0;
-        while (s1 < len && buf[s1] != '\n') ++s1;
+        int64_t s0 = h1 + 1;
+        int64_t s1 = find_nl(s0);
         if (s1 >= len) break;
         int64_t slen = s1 - s0;
         if (slen > 0 && buf[s1 - 1] == '\r') --slen;
@@ -124,12 +132,11 @@ int64_t ps_fastq_scan(const char* buf, int64_t len, int64_t max_reads,
         int64_t q0 = s1 + 1;
         if (q0 >= len) break;
         if (buf[q0] != '+') return -1;
-        int64_t q1 = q0;
-        while (q1 < len && buf[q1] != '\n') ++q1;
+        int64_t q1 = find_nl(q0);
         if (q1 >= len) break;
         // line 4: quality
-        int64_t u0 = q1 + 1, u1 = u0;
-        while (u1 < len && buf[u1] != '\n') ++u1;
+        int64_t u0 = q1 + 1;
+        int64_t u1 = find_nl(u0);
         if (u1 >= len && u1 - u0 < slen) break;  // incomplete
         int64_t qlen = u1 - u0;
         if (qlen > 0 && u1 > u0 && buf[u1 - 1] == '\r') --qlen;
@@ -193,9 +200,9 @@ int64_t ps_sam_cluster_scan(
     *consumed = 0;
     *n_skipped = 0;
     while (nrec < max_recs && pos < len) {
-        int64_t e = pos;
-        while (e < len && buf[e] != '\n') ++e;
-        if (e >= len) break;  // incomplete line
+        const void* nl = std::memchr(buf + pos, '\n', size_t(len - pos));
+        if (nl == nullptr) break;  // incomplete line
+        const int64_t e = int64_t(static_cast<const char*>(nl) - buf);
         const int64_t line_end = (e > pos && buf[e - 1] == '\r') ? e - 1 : e;
         if (buf[pos] == '@' || line_end == pos) {  // header / blank
             pos = e + 1; *consumed = pos;

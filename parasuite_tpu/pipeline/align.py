@@ -270,10 +270,17 @@ class AlignerEngine:
             ln = int(batch.lengths[b])
             # unique alternates != the chosen hit (seen keys are final
             # positions: gapped alternates dedupe AFTER traceback so a
-            # traceback-shifted winner is never re-emitted as an alternate)
+            # traceback-shifted winner is never re-emitted as an alternate).
+            # NOTE (ADVICE r2): xa_dropped is an approximate upper bound —
+            # post-cap uniques are keyed by ungapped t_pos (no traceback),
+            # so a post-cap duplicate of a traceback-shifted alternate can
+            # be over-counted; acceptable for a diagnostic counter.
             seen = {(int(strand[b]), int(pos[b]))}
             alts = []  # (strand, packed_pos, cigar_str, nm)
             oriented_cache = {}
+            tb_cache = {}  # (strand, diag) -> traceback; a repetitive read
+            #                can present the same diagonal through several
+            #                candidates — cap DP cost at one per diagonal
 
             def oriented_for(st):
                 if st not in oriented_cache:
@@ -301,10 +308,12 @@ class AlignerEngine:
                     seen.add(key)
                     alts.append((st, p, f"{ln}M", None))
                 else:
-                    p, cigar, nm_alt = host_traceback(
-                        self.sam_ref.seq, self.s_tensor, self.s_comp,
-                        self.cfg, oriented_for(st), ln, st,
-                        int(t_diag[b, t]))
+                    dkey = (st, int(t_diag[b, t]))
+                    if dkey not in tb_cache:
+                        tb_cache[dkey] = host_traceback(
+                            self.sam_ref.seq, self.s_tensor, self.s_comp,
+                            self.cfg, oriented_for(st), ln, st, dkey[1])
+                    p, cigar, nm_alt = tb_cache[dkey]
                     key = (st, p)
                     if key in seen:
                         continue
@@ -388,17 +397,18 @@ class AlignerEngine:
         elig = host.ug_equal[:n] | ~host.mapped[:n]
         if host.xa is not None:
             elig = elig & np.asarray([host.xa[b] is None for b in range(n)])
-        b = 0
-        while b < n:
-            if not elig[b]:
-                writer.write(self._format_one(batch, host, b))
-                b += 1
-                continue
-            e = b
-            while e < n and elig[e]:
-                e += 1
-            writer.write_block(self._format_native_run(batch, host, b, e))
-            b = e
+        # vectorized run segmentation (a per-element Python scan here costs
+        # ~3 ms per 32k batch — measurable against the ~1 us/record C++
+        # formatter)
+        bounds = np.flatnonzero(elig[1:] != elig[:-1]) + 1
+        edges = np.concatenate(([0], bounds, [n]))
+        for b, e in zip(edges[:-1], edges[1:]):
+            b, e = int(b), int(e)
+            if elig[b]:
+                writer.write_block(self._format_native_run(batch, host, b, e))
+            else:
+                for i in range(b, e):
+                    writer.write(self._format_one(batch, host, i))
 
     def _format_one(self, batch, host, b) -> str:
         extra = None

@@ -152,6 +152,12 @@ def test_cli_dist_align_combined_file_mode(workdir):
 
 def test_cli_combined_rejects_xa_and_coordinator(workdir):
     d = workdir
+    if not (d / "cidx.ref.json").exists():  # standalone-run support
+        (d / "ann.tsv").write_text("txA\tchrA\t+\t1200,2400\t1500,2700\n")
+        run_cli("combine", d / "ref.fa", d / "ann.tsv", d / "cidx",
+                *CFG_FLAGS, cwd=d)
+        run_cli("simulate", d / "cidx", d / "creads.fastq", "--n-reads",
+                "8", *CFG_FLAGS, cwd=d)
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO)
     env["JAX_PLATFORMS"] = "cpu"
