@@ -70,16 +70,16 @@ def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False,
                                            seed=2, tc_rate=0.12)
     lengths16 = lengths.astype(np.uint16)
     ms_table = jax.device_put(min_score_table(cfg))
-    # wire-packed step (nibble codes up, PackedResult down): halves the
-    # remote-tunnel payload both ways; host packing is INSIDE the timed
-    # loop — it is part of the per-batch cost
+    # wire-packed step (2-bit codes + N mask up, PackedResult v2 down):
+    # ~27% less remote-tunnel payload than v1 nibble/21B; host packing is
+    # INSIDE the timed loop — it is part of the per-batch cost
     fn = jax.jit(functools.partial(align_batch_packed, cfg=cfg))
 
     # compile + warmup (device_get, NOT block_until_ready: on the axon
     # remote-TPU backend block_until_ready is a no-op — results only
     # materialize when bytes are fetched, so honest timing must fetch)
-    jax.device_get(fn(didx, sprof, pack_codes_host(codes[:batch_size]),
-                      lengths16[:batch_size], ms_table))
+    wt, wn = pack_codes_host(codes[:batch_size])
+    jax.device_get(fn(didx, sprof, wt, wn, lengths16[:batch_size], ms_table))
 
     best = 0.0
     results = None
@@ -87,7 +87,8 @@ def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False,
         t0 = time.perf_counter()
         outs = []
         for i in range(0, n_reads, batch_size):
-            o = fn(didx, sprof, pack_codes_host(codes[i:i + batch_size]),
+            two, nmask = pack_codes_host(codes[i:i + batch_size])
+            o = fn(didx, sprof, two, nmask,
                    lengths16[i:i + batch_size], ms_table)
             # start the device->host copy now so downloads of batch k
             # overlap uploads/compute of batch k+1 on the tunnel
@@ -101,7 +102,7 @@ def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False,
     if check_accuracy:
         from parasuite_tpu.benchkit import evaluate_against_truth
 
-        results = [unpack_result_host(r) for r in results]
+        results = [unpack_result_host(r, cfg.band_width) for r in results]
         mapped = np.concatenate([np.asarray(r.mapped) for r in results])
         strand = np.concatenate([np.asarray(r.strand) for r in results])
         pos = np.concatenate([np.asarray(r.pos) for r in results])

@@ -423,51 +423,83 @@ class PackedResult(NamedTuple):
     The remote-TPU tunnel moves ~35 MB/s with a ~25 ms round-trip floor
     (measured), so the 48 B/read of int32 result fields — and the 50 B/read
     of int8 codes on the way up — ARE the throughput bottleneck, not the
-    device. Small fields ride one uint8 matrix, coordinates one int32
-    matrix: 21 B/read down instead of 48, nibble-packed codes 25 B/read up
-    instead of 50. unpack_result_host restores a bit-identical AlignResult
-    (ranges enforced by AlignerEngine: L <= 255, 2*max_candidates <= 255).
+    device. Wire layout v2 (13 B/read down, was 21 in v1, 48 unpacked):
+
+      u8  [B, 7]  col0 = mapped | strand<<1 | ug_equal<<2 | (diag-pos+W)<<3
+                  cols 1..6 = mapq, nm, x0, x1, n_candidates, tc_count
+      i16 [B, 1]  score   (|score| <= 127/base * 255 bases = 32385 < 2^15;
+                  unmapped rows store 0 and unpack to NEG via the flag)
+      i32 [B, 1]  pos     (full coordinate range)
+
+    diag rides as its band offset: pos = diag - W + j with j in [0, 2W], so
+    diag - pos = W - j fits 5 bits for W <= 15. Codes go up 2-bit packed
+    plus an N-position bitmask (20 B/read at L=50, was 25 nibble-packed).
+    unpack_result_host restores a bit-identical AlignResult; range bounds
+    are enforced by AlignerEngine.supports_packed (L <= 255,
+    2*max_candidates <= 255, band_width <= 15).
     """
 
-    u8: jnp.ndarray    # [B, 9] mapped, strand, mapq, nm, x0, x1, ug, ncand, tc
-    i32: jnp.ndarray   # [B, 3] pos, score, diag
+    u8: jnp.ndarray    # [B, 7] see layout above
+    i16: jnp.ndarray   # [B, 1] score
+    i32: jnp.ndarray   # [B, 1] pos
 
 
-def pack_codes_host(codes: np.ndarray) -> np.ndarray:
-    """[B, L] int8 codes (0..4) -> [B, ceil(L/2)] uint8, two per byte."""
+def pack_codes_host(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[B, L] int8 codes (0..4) -> (two-bit [B, ceil(L/4)] uint8,
+    n-mask [B, ceil(L/8)] uint8 little-bit-order)."""
     B, L = codes.shape
     u = codes.astype(np.uint8)
-    if L % 2:
-        u = np.concatenate([u, np.full((B, 1), 4, np.uint8)], axis=1)
-    return u[:, 0::2] | (u[:, 1::2] << 4)
+    isn = u >= 4
+    v = np.where(isn, 0, u)
+    pad = (-L) % 4
+    if pad:
+        v = np.concatenate([v, np.zeros((B, pad), np.uint8)], axis=1)
+    two = (v[:, 0::4] | (v[:, 1::4] << 2) | (v[:, 2::4] << 4)
+           | (v[:, 3::4] << 6))
+    nmask = np.packbits(isn, axis=1, bitorder="little")
+    return two, nmask
 
 
-def unpack_codes(packed: jnp.ndarray, L: int) -> jnp.ndarray:
+def unpack_codes(two: jnp.ndarray, nmask: jnp.ndarray, L: int) -> jnp.ndarray:
     """Device-side inverse of pack_codes_host."""
-    lo = (packed & 0xF).astype(jnp.int8)
-    hi = (packed >> 4).astype(jnp.int8)
-    return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)[:, :L]
+    B = two.shape[0]
+    sh2 = jnp.arange(4, dtype=jnp.uint8) * 2
+    bases = ((two[:, :, None] >> sh2[None, None]) & 3).reshape(B, -1)[:, :L]
+    sh1 = jnp.arange(8, dtype=jnp.uint8)
+    bits = ((nmask[:, :, None] >> sh1[None, None]) & 1).reshape(B, -1)[:, :L]
+    return jnp.where(bits == 1, jnp.uint8(4), bases).astype(jnp.int8)
 
 
-def pack_result(res: AlignResult) -> PackedResult:
+def pack_result(res: AlignResult, band_width: int) -> PackedResult:
+    dposw = jnp.where(res.mapped, res.diag - res.pos + band_width, 0)
+    flags = (res.mapped.astype(jnp.uint8)
+             | (res.strand << 1).astype(jnp.uint8)
+             | (res.ug_equal.astype(jnp.uint8) << 2)
+             | (dposw << 3).astype(jnp.uint8))
     u8 = jnp.stack([
-        res.mapped, res.strand, res.mapq, res.nm, res.x0, res.x1,
-        res.ug_equal, res.n_candidates, res.tc_count,
+        flags, res.mapq, res.nm, res.x0, res.x1, res.n_candidates,
+        res.tc_count,
     ], axis=1).astype(jnp.uint8)
-    i32 = jnp.stack([res.pos, res.score, res.diag], axis=1)
-    return PackedResult(u8=u8, i32=i32)
+    i16 = jnp.where(res.mapped, res.score, 0).astype(jnp.int16)[:, None]
+    return PackedResult(u8=u8, i16=i16, i32=res.pos[:, None])
 
 
-def unpack_result_host(packed: PackedResult) -> AlignResult:
+def unpack_result_host(packed: PackedResult,
+                       band_width: int) -> AlignResult:
     u8 = np.asarray(packed.u8)
-    i32 = np.asarray(packed.i32)
     i = u8.astype(np.int32)
+    flags = i[:, 0]
+    mapped = (flags & 1).astype(bool)
+    pos = np.asarray(packed.i32)[:, 0]
+    score = np.where(mapped, np.asarray(packed.i16)[:, 0].astype(np.int32),
+                     NEG)
+    diag = np.where(mapped, pos + (flags >> 3) - band_width, 0)
     return AlignResult(
-        mapped=u8[:, 0].astype(bool), strand=i[:, 1],
-        pos=i32[:, 0], score=i32[:, 1], mapq=i[:, 2],
-        x0=i[:, 4], x1=i[:, 5], ug_equal=u8[:, 6].astype(bool),
-        nm=i[:, 3], diag=i32[:, 2], n_candidates=i[:, 7],
-        tc_count=i[:, 8])
+        mapped=mapped, strand=(flags >> 1) & 1,
+        pos=pos, score=score, mapq=i[:, 1],
+        x0=i[:, 3], x1=i[:, 4], ug_equal=((flags >> 2) & 1).astype(bool),
+        nm=i[:, 2], diag=diag, n_candidates=i[:, 5],
+        tc_count=i[:, 6])
 
 
 def min_score_table(cfg: AlignConfig) -> np.ndarray:
@@ -478,19 +510,19 @@ def min_score_table(cfg: AlignConfig) -> np.ndarray:
 
 
 def align_batch_packed(didx: DeviceIndex, sprof: ScoreParams,
-                       packed_codes: jnp.ndarray, lengths_u16: jnp.ndarray,
-                       ms_table: jnp.ndarray, cfg: AlignConfig,
-                       with_counts: bool = False):
-    """Wire-packed align step: nibble codes + uint16 lengths in,
+                       packed_codes: jnp.ndarray, nmask: jnp.ndarray,
+                       lengths_u16: jnp.ndarray, ms_table: jnp.ndarray,
+                       cfg: AlignConfig, with_counts: bool = False):
+    """Wire-packed align step: 2-bit codes + N bitmask + uint16 lengths in,
     PackedResult (and optionally the [L, 4, 4] profile count matrix,
     fused so profile passes pay no second upload) out."""
     from parasuite_tpu.ops.profile_update import profile_counts_batch
 
-    codes = unpack_codes(packed_codes, cfg.max_read_len)
+    codes = unpack_codes(packed_codes, nmask, cfg.max_read_len)
     lengths = lengths_u16.astype(jnp.int32)
     min_scores = ms_table[jnp.clip(lengths, 0, ms_table.shape[0] - 1)]
     res = align_batch(didx, sprof, codes, lengths, min_scores, cfg)
-    out = pack_result(res)
+    out = pack_result(res, cfg.band_width)
     if not with_counts:
         return out
     counts = profile_counts_batch(didx, codes, lengths, res.mapped,

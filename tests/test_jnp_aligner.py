@@ -137,9 +137,9 @@ def test_batch_size_independence(device_state, tiny_ref, tiny_index, small_cfg):
 
 def test_packed_wire_path_bit_identical(device_state, tiny_ref, tiny_index,
                                         small_cfg):
-    """align_device_packed (nibble codes up, PackedResult down — the tunnel
-    -bandwidth fast path) must reproduce align_batch bit-exactly, including
-    the fused profile-count matrix."""
+    """align_device_packed (2-bit codes + N bitmask up, PackedResult v2
+    down — the tunnel-bandwidth fast path) must reproduce align_batch
+    bit-exactly, including the fused profile-count matrix."""
     from conftest import sample_reads
 
     from parasuite_tpu.ops.aligner import unpack_result_host
@@ -149,6 +149,8 @@ def test_packed_wire_path_bit_identical(device_state, tiny_ref, tiny_index,
     codes, lengths, _ = sample_reads(rng, tiny_ref, 64, 50, mutate=3)
     codes[60:] = rng.integers(0, 4, size=(4, 50)).astype(np.int8)
     lengths[62] = 37  # a short read exercises the uint16 length path
+    codes[59, 7] = 4  # in-read Ns exercise the wire N-bitmask
+    codes[59, 31] = 4
 
     engine = AlignerEngine(tiny_ref, tiny_index, small_cfg)
     assert engine.supports_packed
@@ -156,7 +158,7 @@ def test_packed_wire_path_bit_identical(device_state, tiny_ref, tiny_index,
     ref_counts = engine.profile_counts_device(codes, lengths, ref_res)
     packed, counts = engine.align_device_packed(codes, lengths,
                                                 with_counts=True)
-    got = unpack_result_host(jax.device_get(packed))
+    got = unpack_result_host(jax.device_get(packed), small_cfg.band_width)
     for f in ref_res._fields:
         np.testing.assert_array_equal(
             np.asarray(getattr(got, f)), np.asarray(getattr(ref_res, f)),
