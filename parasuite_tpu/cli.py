@@ -9,8 +9,13 @@ confirmed on mount, SURVEY.md §8.3):
   twopass    error-profile inference + profile-aware realignment (config 2)
   simulate   PAR-CLIP read simulation -> FASTQ + truth (config 4 input)
   benchmark  simulate + align + sensitivity/precision + reads/s report
-  cluster    SAM -> binding-site clusters TSV (config 5)
+  cluster    SAM/BAM -> binding-site clusters TSV (config 5)
   combine    build combined genome+transcriptome reference (config 3)
+  sort       coordinate-sort SAM/BAM (reference pipeline's final
+             merge/sort stage, SURVEY.md §3.1)
+  convert    SAM <-> BAM by extension (htsjdk-equivalent interchange)
+
+align/twopass emit BAM directly when the output path ends in .bam.
 
 Every run writes its AlignConfig JSON next to the outputs (SURVEY.md §5
 config reproducibility).
@@ -102,6 +107,21 @@ def cmd_index(args) -> int:
     return 0
 
 
+def _sam_out_path(out):
+    """BAM outputs stream SAM text to a sibling .tmp.sam first (the
+    checkpoint/resume machinery is text-offset based), then convert."""
+    return (str(out) + ".tmp.sam") if str(out).endswith(".bam") else out
+
+
+def _finish_bam_out(out, sam_path) -> None:
+    if str(out) == str(sam_path):
+        return
+    from parasuite_tpu.io.bam import sam_to_bam
+
+    sam_to_bam(sam_path, out)
+    Path(sam_path).unlink()
+
+
 def cmd_align(args) -> int:
     from parasuite_tpu.pipeline.stream import streaming_align
     from parasuite_tpu.utils.runlog import RunLog
@@ -110,9 +130,11 @@ def cmd_align(args) -> int:
     engine = _load_engine(args, cfg)
     log = RunLog(args.log) if args.log else RunLog()
     t0 = time.perf_counter()
-    n, _, _ = streaming_align(engine, args.fastq, args.out,
+    sam_out = _sam_out_path(args.out)
+    n, _, _ = streaming_align(engine, args.fastq, sam_out,
                               resume=args.resume, log=log,
                               command_line=" ".join(sys.argv[1:]))
+    _finish_bam_out(args.out, sam_out)
     Path(str(args.out) + ".config.json").write_text(cfg.to_json())
     dt = time.perf_counter() - t0
     print(json.dumps({"tool": "align", "reads": n,
@@ -156,8 +178,10 @@ def cmd_twopass(args) -> int:
         engine = _load_engine(args, cfg)  # new cfg -> new compiled step
         log.event("twopass.gaps", gap_open=go, gap_extend=ge)
     engine.set_profile(counts_to_profile(profile, cfg))
-    n, _, _ = streaming_align(engine, args.fastq, args.out,
+    sam_out = _sam_out_path(args.out)
+    n, _, _ = streaming_align(engine, args.fastq, sam_out,
                               resume=args.resume, log=log, command_line=cl)
+    _finish_bam_out(args.out, sam_out)
     Path(str(args.out) + ".config.json").write_text(cfg.to_json())
     out = {"tool": "twopass", "reads": n,
            "profiled_reads": profile.n_reads, "profile": str(profile_out)}
@@ -281,12 +305,22 @@ def cmd_cluster(args) -> int:
 
     cfg = _cfg_from_args(args)
     ref = PackedReference.load(args.index_prefix)
+    sam = args.sam
+    tmp = None
+    if str(sam).endswith(".bam"):
+        from parasuite_tpu.io.bam import bam_to_sam
+
+        tmp = str(sam) + ".tmp.sam"
+        bam_to_sam(sam, tmp)
+        sam = tmp
     if native.available():
         # streaming C++ scan: config-5 scale (50M records) ingests at
         # chunk-buffer speed instead of per-record Python dicts
-        pos, span, tc, _skipped = native.sam_cluster_columns(args.sam, ref)
+        pos, span, tc, _skipped = native.sam_cluster_columns(sam, ref)
     else:
-        pos, span, tc = cluster_columns_python(args.sam, ref)
+        pos, span, tc = cluster_columns_python(sam, ref)
+    if tmp:
+        Path(tmp).unlink()
     clusters = call_clusters(ref, pos, span, tc, cfg)
     write_clusters(args.out, clusters)
     print(json.dumps({"tool": "cluster", "alignments": int(pos.shape[0]),
@@ -365,6 +399,29 @@ def cmd_merge_shards(args) -> int:
         else " ".join(sys.argv[1:]))
     print(json.dumps({"tool": "merge-shards", "records": n,
                       "profiled": profile.n_reads if profile else 0}))
+    return 0
+
+
+def cmd_sort(args) -> int:
+    from parasuite_tpu.io.bam import coordinate_sort
+
+    n = coordinate_sort(args.infile, args.out)
+    print(json.dumps({"tool": "sort", "records": n, "out": str(args.out)}))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from parasuite_tpu.io.bam import bam_to_sam, sam_to_bam
+
+    src, dst = str(args.infile), str(args.out)
+    if src.endswith(".bam") and not dst.endswith(".bam"):
+        n = bam_to_sam(src, dst)
+    elif not src.endswith(".bam") and dst.endswith(".bam"):
+        n = sam_to_bam(src, dst)
+    else:
+        raise SystemExit("convert: exactly one of the two paths must end "
+                         "in .bam")
+    print(json.dumps({"tool": "convert", "records": n, "out": dst}))
     return 0
 
 
@@ -482,6 +539,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "different host counts are byte-identical)")
     _add_cfg_flags(p)
     p.set_defaults(fn=cmd_merge_shards)
+
+    p = sub.add_parser("sort", help="coordinate-sort SAM/BAM (unmapped last)")
+    p.add_argument("infile")
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_sort)
+
+    p = sub.add_parser("convert", help="SAM <-> BAM (direction by extension)")
+    p.add_argument("infile")
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("combine", help="build combined genome+transcriptome index")
     p.add_argument("fasta")

@@ -1,0 +1,391 @@
+"""BAM/BGZF codec + coordinate sort.
+
+The reference pipeline's SAM I/O is htsjdk BAM in/out, and its final stage is
+"merge/sort/filter BAM" (SURVEY.md §3.1, §2 component 9; upstream htsjdk
+SAMFileWriter / picard SortSam per SURVEY provenance note — the mount was
+empty, so conventions follow the published SAM/BAM spec v1.6). This module
+gives a reference user the same interchange surface:
+
+  * BgzfWriter — spec-compliant BGZF blocks (gzip members with the BC extra
+    field + the 28-byte EOF marker), readable by samtools/htsjdk/pysam;
+    reading uses stdlib gzip (BGZF is valid multi-member gzip).
+  * sam_to_bam / bam_to_sam — lossless record conversion (tags typed A/i/Z/f;
+    integer tags are always written as 'i', which round-trips exactly).
+  * coordinate_sort — (RNAME id, POS) sort with unmapped records last and
+    the header rewritten to SO:coordinate; stable, so equal-coordinate
+    records keep input order (deterministic merges, SURVEY.md §7 hard
+    part 4). Accepts .sam or .bam on either side by extension.
+
+Pure host-side Python/numpy: BAM is an output/interchange format here, never
+on the device path.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+# canonical 28-byte BGZF EOF marker (SAM spec §4.1.2)
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+_MAX_BLOCK = 65280  # uncompressed bytes per BGZF block (spec: < 64 KiB)
+
+_SEQ_NIB = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_NIB_SEQ = "=ACMGRSVTWYHKDBN"
+_CIG_OP = {c: i for i, c in enumerate("MIDNSHP=X")}
+_OP_CIG = "MIDNSHP=X"
+
+
+class BgzfWriter:
+    """File-like BGZF writer: write() any bytes, blocks are cut at 64 KiB."""
+
+    def __init__(self, path, level: int = 6):
+        self._fh = open(path, "wb")
+        self._buf = bytearray()
+        self.level = level
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= _MAX_BLOCK:
+            self._emit(_MAX_BLOCK)
+
+    def _emit(self, n: int) -> None:
+        chunk = bytes(self._buf[:n])
+        del self._buf[:n]
+        co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
+        comp = co.compress(chunk) + co.flush()
+        total = 12 + 6 + len(comp) + 8
+        hdr = struct.pack("<BBBBIBBHBBHH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF,
+                          6, 66, 67, 2, total - 1)
+        self._fh.write(hdr + comp
+                       + struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+
+    def close(self) -> None:
+        while self._buf:
+            self._emit(min(len(self._buf), _MAX_BLOCK))
+        self._fh.write(BGZF_EOF)
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """SAM spec §5.3 bin number for [beg, end)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _encode_tags(tags: list[str]) -> bytes:
+    out = bytearray()
+    for t in tags:
+        tag, typ, val = t.split(":", 2)
+        out += tag.encode("ascii")
+        if typ == "A":
+            out += b"A" + val.encode("ascii")
+        elif typ == "i":
+            out += b"i" + struct.pack("<i", int(val))
+        elif typ == "f":
+            out += b"f" + struct.pack("<f", float(val))
+        elif typ == "Z":
+            out += b"Z" + val.encode("ascii") + b"\0"
+        else:
+            raise ValueError(f"unsupported SAM tag type {typ!r} in {t!r}")
+    return bytes(out)
+
+
+def _decode_tags(buf: bytes, off: int) -> list[str]:
+    out = []
+    end = len(buf)
+    while off < end:
+        tag = buf[off : off + 2].decode("ascii")
+        typ = chr(buf[off + 2])
+        off += 3
+        if typ == "A":
+            out.append(f"{tag}:A:{chr(buf[off])}")
+            off += 1
+        elif typ in "cCsSiI":
+            fmt, sz = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2),
+                       "S": ("<H", 2), "i": ("<i", 4), "I": ("<I", 4)}[typ]
+            out.append(f"{tag}:i:{struct.unpack_from(fmt, buf, off)[0]}")
+            off += sz
+        elif typ == "f":
+            out.append(f"{tag}:f:{struct.unpack_from('<f', buf, off)[0]:g}")
+            off += 4
+        elif typ == "Z":
+            z = buf.index(b"\0", off)
+            out.append(f"{tag}:Z:{buf[off:z].decode('ascii')}")
+            off = z + 1
+        else:
+            raise ValueError(f"unsupported BAM tag type {typ!r} for {tag}")
+    return out
+
+
+def _cigar_ops(cig: str) -> list[tuple[int, int]]:
+    ops = []
+    n = ""
+    for ch in cig:
+        if ch.isdigit():
+            n += ch
+        else:
+            ops.append((int(n), _CIG_OP[ch]))
+            n = ""
+    return ops
+
+
+def encode_bam_record(fields: list[str], rid_of: dict[str, int]) -> bytes:
+    """One SAM data line (split on tab) -> one BAM record (with block_size
+    prefix)."""
+    name = fields[0].encode("ascii")
+    flag = int(fields[1])
+    refid = rid_of.get(fields[2], -1)
+    pos = int(fields[3]) - 1
+    mapq = int(fields[4])
+    ops = _cigar_ops(fields[5]) if fields[5] != "*" else []
+    seq = fields[9]
+    qual = fields[10]
+    l_seq = 0 if seq == "*" else len(seq)
+    ref_span = sum(ln for ln, op in ops if _OP_CIG[op] in "MDN=X")
+    end = pos + max(ref_span, 1)
+    bam_bin = _reg2bin(max(pos, 0), max(end, 1)) if refid >= 0 else 4680
+    body = bytearray()
+    body += struct.pack("<iiBBHHHiiii", refid, pos, len(name) + 1, mapq,
+                        bam_bin, len(ops), flag, l_seq, -1, -1, 0)
+    body += name + b"\0"
+    for ln, op in ops:
+        body += struct.pack("<I", (ln << 4) | op)
+    if l_seq:
+        nib = np.fromiter((_SEQ_NIB.get(c, 15) for c in seq), np.uint8,
+                          count=l_seq)
+        if l_seq % 2:
+            nib = np.concatenate([nib, np.zeros(1, np.uint8)])
+        body += ((nib[0::2] << 4) | nib[1::2]).tobytes()
+        if qual == "*":
+            body += b"\xff" * l_seq
+        else:
+            body += (np.frombuffer(qual.encode("ascii"), np.uint8)
+                     - 33).tobytes()
+    body += _encode_tags(fields[11:])
+    return struct.pack("<i", len(body)) + bytes(body)
+
+
+def decode_bam_record(body: bytes, names: list[str]) -> str:
+    """One BAM record body (no block_size prefix) -> SAM data line."""
+    (refid, pos, l_name, mapq, _bin, n_cig, flag, l_seq, _nref, _npos,
+     _tlen) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+    off = 32
+    qname = body[off : off + l_name - 1].decode("ascii")
+    off += l_name
+    cig = []
+    for _ in range(n_cig):
+        v = struct.unpack_from("<I", body, off)[0]
+        cig.append(f"{v >> 4}{_OP_CIG[v & 0xF]}")
+        off += 4
+    cigar = "".join(cig) if cig else "*"
+    if l_seq:
+        packed = np.frombuffer(body, np.uint8, (l_seq + 1) // 2, off)
+        nib = np.empty(2 * len(packed), np.uint8)
+        nib[0::2] = packed >> 4
+        nib[1::2] = packed & 0xF
+        seq = "".join(_NIB_SEQ[v] for v in nib[:l_seq])
+        off += (l_seq + 1) // 2
+        q = np.frombuffer(body, np.uint8, l_seq, off)
+        qual = "*" if (q == 0xFF).all() else (q + 33).tobytes().decode("ascii")
+        off += l_seq
+    else:
+        seq = qual = "*"
+    rname = names[refid] if refid >= 0 else "*"
+    fields = [qname, str(flag), rname, str(pos + 1), str(mapq), cigar,
+              "*", "0", "0", seq, qual] + _decode_tags(body, off)
+    return "\t".join(fields)
+
+
+def _sam_refs(header_lines: list[str]) -> tuple[list[str], list[int]]:
+    names, lens = [], []
+    for ln in header_lines:
+        if ln.startswith("@SQ"):
+            d = dict(f.split(":", 1) for f in ln.split("\t")[1:])
+            names.append(d["SN"])
+            lens.append(int(d["LN"]))
+    return names, lens
+
+
+def write_bam_header(out: BgzfWriter, header_text: str, names: list[str],
+                     lens: list[int]) -> None:
+    text = header_text.encode("ascii")
+    out.write(b"BAM\x01" + struct.pack("<i", len(text)) + text
+              + struct.pack("<i", len(names)))
+    for nm, ln in zip(names, lens):
+        nb = nm.encode("ascii") + b"\0"
+        out.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln))
+
+
+def sam_to_bam(sam_path, bam_path) -> int:
+    """Convert SAM text -> BAM. Returns the record count."""
+    headers: list[str] = []
+    n = 0
+    with open(sam_path) as fh, BgzfWriter(bam_path) as out:
+        started = False
+        rid_of: dict[str, int] = {}
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith("@"):
+                if started:
+                    raise ValueError("header line after records")
+                headers.append(line)
+                continue
+            if not started:
+                names, lens = _sam_refs(headers)
+                rid_of = {nm: i for i, nm in enumerate(names)}
+                write_bam_header(out, "\n".join(headers) + "\n", names, lens)
+                started = True
+            out.write(encode_bam_record(line.split("\t"), rid_of))
+            n += 1
+        if not started:
+            names, lens = _sam_refs(headers)
+            write_bam_header(out, "\n".join(headers) + "\n", names, lens)
+    return n
+
+
+def read_bam_header(fh) -> tuple[str, list[str], list[int]]:
+    if fh.read(4) != b"BAM\x01":
+        raise ValueError("not a BAM file (bad magic)")
+    l_text = struct.unpack("<i", fh.read(4))[0]
+    text = fh.read(l_text).decode("ascii")
+    n_ref = struct.unpack("<i", fh.read(4))[0]
+    names, lens = [], []
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", fh.read(4))[0]
+        names.append(fh.read(l_name)[:-1].decode("ascii"))
+        lens.append(struct.unpack("<i", fh.read(4))[0])
+    return text, names, lens
+
+
+def iter_bam_records(bam_path):
+    """-> (header_text, names, lens, generator of record body bytes)."""
+    fh = gzip.open(bam_path, "rb")
+    text, names, lens = read_bam_header(fh)
+
+    def gen():
+        with fh:
+            while True:
+                szb = fh.read(4)
+                if not szb:
+                    return
+                sz = struct.unpack("<i", szb)[0]
+                yield fh.read(sz)
+
+    return text, names, lens, gen()
+
+
+def bam_to_sam(bam_path, sam_path) -> int:
+    """Convert BAM -> SAM text. Returns the record count."""
+    text, names, _lens, recs = iter_bam_records(bam_path)
+    n = 0
+    with open(sam_path, "w") as out:
+        out.write(text)
+        for body in recs:
+            out.write(decode_bam_record(body, names) + "\n")
+            n += 1
+    return n
+
+
+def _set_so(header_lines: list[str], order: str) -> list[str]:
+    out = []
+    seen = False
+    for ln in header_lines:
+        if ln.startswith("@HD"):
+            parts = [p for p in ln.split("\t") if not p.startswith("SO:")]
+            out.append("\t".join(parts) + f"\tSO:{order}")
+            seen = True
+        else:
+            out.append(ln)
+    if not seen:
+        out.insert(0, f"@HD\tVN:1.6\tSO:{order}")
+    return out
+
+
+def coordinate_sort(in_path, out_path) -> int:
+    """Coordinate-sort alignments: (reference id, position) ascending,
+    unmapped records last, stable within equal keys. .sam/.bam accepted on
+    both sides by extension. Returns the record count."""
+    in_path, out_path = Path(in_path), Path(out_path)
+
+    if in_path.suffix == ".bam":
+        text, names, lens, recs = iter_bam_records(in_path)
+        bodies = list(recs)
+        # keys sit at fixed offsets in the BAM record — no full decode
+        refid = np.fromiter(
+            (struct.unpack_from("<i", b, 0)[0] for b in bodies),
+            np.int64, count=len(bodies))
+        pos = np.fromiter(
+            (struct.unpack_from("<i", b, 4)[0] for b in bodies),
+            np.int64, count=len(bodies))
+        header_lines = text.rstrip("\n").split("\n") if text else []
+    else:
+        header_lines = []
+        lines: list[str] = []
+        with open(in_path) as fh:
+            for ln in fh:
+                ln = ln.rstrip("\n")
+                if not ln:
+                    continue
+                (header_lines if ln.startswith("@") else lines).append(ln)
+        names, lens = _sam_refs(header_lines)
+        rid_of = {nm: i for i, nm in enumerate(names)}
+        refid = np.empty(len(lines), np.int64)
+        pos = np.empty(len(lines), np.int64)
+        for i, ln in enumerate(lines):
+            f = ln.split("\t", 4)
+            unmapped = int(f[1]) & 4
+            refid[i] = -1 if unmapped else rid_of.get(f[2], -1)
+            pos[i] = int(f[3]) - 1
+        bodies = lines
+
+    # unmapped (refid -1) last: remap to +inf bucket; np.lexsort is stable
+    key_ref = np.where(refid < 0, np.int64(2**62), refid)
+    order = np.lexsort((pos, key_ref))
+
+    header_lines = _set_so(header_lines, "coordinate")
+    header_text = "\n".join(header_lines) + "\n" if header_lines else ""
+    if out_path.suffix == ".bam":
+        with BgzfWriter(out_path) as out:
+            write_bam_header(out, header_text, names, lens)
+            if in_path.suffix == ".bam":
+                for i in order:
+                    b = bodies[i]
+                    out.write(struct.pack("<i", len(b)) + b)
+            else:
+                rid_of = {nm: i for i, nm in enumerate(names)}
+                for i in order:
+                    out.write(encode_bam_record(bodies[i].split("\t"),
+                                                rid_of))
+    else:
+        with open(out_path, "w") as out:
+            out.write(header_text)
+            if in_path.suffix == ".bam":
+                for i in order:
+                    out.write(decode_bam_record(bodies[i], names) + "\n")
+            else:
+                for i in order:
+                    out.write(bodies[i] + "\n")
+    return len(bodies)

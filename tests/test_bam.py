@@ -1,0 +1,139 @@
+"""BAM/BGZF codec + coordinate sort (io/bam.py; SURVEY.md §2 component 9 —
+the reference's htsjdk BAM surface — and §3.1's final merge/sort stage)."""
+
+import gzip
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from parasuite_tpu.io.bam import (BGZF_EOF, BgzfWriter, bam_to_sam,
+                                  coordinate_sort, sam_to_bam)
+
+SAM = """\
+@HD\tVN:1.6\tSO:unsorted
+@SQ\tSN:chrA\tLN:5000
+@SQ\tSN:chrB\tLN:3000
+@PG\tID:parasuite_tpu\tPN:parasuite_tpu\tVN:0.1.0\tCL:align i f o
+r1\t0\tchrB\t42\t37\t50M\t*\t0\t0\t{seq}\t{qual}\tXT:A:U\tNM:i:0\tX0:i:1\tX1:i:0\tAS:i:300\tMD:Z:50
+r2\t16\tchrA\t900\t23\t20M2D28M\t*\t0\t0\t{seq48}\t{qual48}\tXT:A:U\tNM:i:3\tX0:i:1\tX1:i:2\tAS:i:255\tMD:Z:20^AC27T0
+r3\t4\t*\t0\t0\t*\t*\t0\t0\t{seqn}\t{qual}
+r4\t0\tchrA\t7\t0\t25M100N25M\t*\t0\t0\t{seq}\t{qual}\tXT:A:R\tNM:i:1\tX0:i:2\tX1:i:0\tAS:i:290\tMD:Z:50\tXA:Z:chrB,+17,50M,2;
+r5\t0\tchrA\t7\t11\t50M\t*\t0\t0\t{seq}\t*\tXT:A:U\tNM:i:0\tX0:i:1\tX1:i:0\tAS:i:300\tMD:Z:50
+"""
+
+
+def _sam_text():
+    rng = np.random.default_rng(5)
+    mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    seq = mk(50)
+    return SAM.format(seq=seq, qual="I" * 50, seq48=mk(48), qual48="J" * 48,
+                      seqn=seq[:20] + "N" + seq[21:])
+
+
+def test_bgzf_roundtrip_and_eof(tmp_path):
+    """Blocks must be valid multi-member gzip and end with the spec's
+    28-byte EOF marker (what htsjdk/samtools use to detect truncation)."""
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+    p = tmp_path / "x.bgzf"
+    with BgzfWriter(p) as w:
+        for i in range(0, len(payload), 7013):  # uneven writes
+            w.write(payload[i : i + 7013])
+    raw = p.read_bytes()
+    assert raw.endswith(BGZF_EOF)
+    assert gzip.decompress(raw) == payload
+    # every member must carry the BC extra subfield with a consistent BSIZE
+    bsize = struct.unpack_from("<H", raw, 16)[0]
+    assert raw[12:16] == b"\x42\x43\x02\x00"
+    assert bsize < len(raw)
+
+
+def test_sam_bam_sam_roundtrip(tmp_path):
+    """SAM -> BAM -> SAM must be byte-identical (mapped fwd/rev, unmapped,
+    D and N CIGARs, missing QUAL, N bases, A/i/Z tags)."""
+    text = _sam_text()
+    sam1 = tmp_path / "a.sam"
+    sam1.write_text(text)
+    bam = tmp_path / "a.bam"
+    n = sam_to_bam(sam1, bam)
+    assert n == 5
+    sam2 = tmp_path / "b.sam"
+    assert bam_to_sam(bam, sam2) == 5
+    assert sam2.read_text() == text
+
+
+@pytest.mark.parametrize("via", ["sam", "bam"])
+def test_coordinate_sort(tmp_path, via):
+    """(refid, pos) ascending, unmapped last, stable, SO:coordinate."""
+    text = _sam_text()
+    src = tmp_path / "in.sam"
+    src.write_text(text)
+    if via == "bam":
+        b = tmp_path / "in.bam"
+        sam_to_bam(src, b)
+        src = b
+    out = tmp_path / "out.sam"
+    n = coordinate_sort(src, out)
+    assert n == 5
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    names = [l.split("\t")[0] for l in lines]
+    # chrA pos7 (r4 before r5: stable), chrA 900, chrB 42, unmapped last
+    assert names == ["r4", "r5", "r2", "r1", "r3"]
+    hd = out.read_text().splitlines()[0]
+    assert hd.startswith("@HD") and "SO:coordinate" in hd
+    # and sorted BAM out round-trips
+    outb = tmp_path / "out.bam"
+    coordinate_sort(src, outb)
+    back = tmp_path / "back.sam"
+    bam_to_sam(outb, back)
+    assert back.read_text() == out.read_text()
+
+
+def test_cli_bam_output_and_cluster_ingest(tmp_path, tiny_ref, tiny_index,
+                                           small_cfg):
+    """align -> .bam directly; cluster consumes the .bam; convert+sort CLI."""
+    from conftest import sample_reads
+
+    from parasuite_tpu.cli import main
+    from parasuite_tpu.io.fastq import write_fastq
+
+    prefix = tmp_path / "idx"
+    tiny_ref.save(prefix)
+    tiny_index.save(prefix)
+    rng = np.random.default_rng(77)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 48, 50, mutate=2)
+    fq = tmp_path / "r.fastq"
+    write_fastq(fq, [f"q{i}" for i in range(48)], codes, lengths)
+
+    cfgf = ["--kmer-size", str(small_cfg.kmer_size), "--max-read-len", "50",
+            "--batch-size", "16", "--band-width",
+            str(small_cfg.band_width)]
+    bam = tmp_path / "out.bam"
+    assert main(["align", str(prefix), str(fq), str(bam)] + cfgf) == 0
+    assert bam.exists() and not (tmp_path / "out.bam.tmp.sam").exists()
+    assert bam.read_bytes().endswith(BGZF_EOF)
+
+    # the BAM must round-trip to the exact SAM the text path would emit
+    sam = tmp_path / "out.sam"
+    assert main(["align", str(prefix), str(fq), str(sam)] + cfgf) == 0
+    rt = tmp_path / "rt.sam"
+    assert main(["convert", str(bam), str(rt)]) == 0
+    assert rt.read_text() == sam.read_text()
+
+    clusters_b = tmp_path / "cb.tsv"
+    clusters_s = tmp_path / "cs.tsv"
+    assert main(["cluster", str(prefix), str(bam), str(clusters_b)]
+                + cfgf + ["--cluster-min-reads", "1"]) == 0
+    assert main(["cluster", str(prefix), str(sam), str(clusters_s)]
+                + cfgf + ["--cluster-min-reads", "1"]) == 0
+    assert clusters_b.read_text() == clusters_s.read_text()
+
+    sortedb = tmp_path / "sorted.bam"
+    assert main(["sort", str(bam), str(sortedb)]) == 0
+    s2 = tmp_path / "sorted.sam"
+    assert main(["sort", str(sam), str(s2)]) == 0
+    rt2 = tmp_path / "rt2.sam"
+    assert main(["convert", str(sortedb), str(rt2)]) == 0
+    assert rt2.read_text() == s2.read_text()
