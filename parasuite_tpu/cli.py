@@ -405,7 +405,8 @@ def cmd_merge_shards(args) -> int:
 def cmd_sort(args) -> int:
     from parasuite_tpu.io.bam import coordinate_sort
 
-    n = coordinate_sort(args.infile, args.out)
+    n = coordinate_sort(args.infile, args.out, min_mapq=args.min_mapq,
+                        mapped_only=args.mapped_only)
     print(json.dumps({"tool": "sort", "records": n, "out": str(args.out)}))
     return 0
 
@@ -543,6 +544,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("sort", help="coordinate-sort SAM/BAM (unmapped last)")
     p.add_argument("infile")
     p.add_argument("out")
+    p.add_argument("--min-mapq", dest="min_mapq", type=int, default=0,
+                   help="drop mapped records with MAPQ below this")
+    p.add_argument("--mapped-only", dest="mapped_only", action="store_true",
+                   help="drop unmapped records")
     p.set_defaults(fn=cmd_sort)
 
     p = sub.add_parser("convert", help="SAM <-> BAM (direction by extension)")

@@ -324,10 +324,14 @@ def _set_so(header_lines: list[str], order: str) -> list[str]:
     return out
 
 
-def coordinate_sort(in_path, out_path) -> int:
+def coordinate_sort(in_path, out_path, min_mapq: int = 0,
+                    mapped_only: bool = False) -> int:
     """Coordinate-sort alignments: (reference id, position) ascending,
     unmapped records last, stable within equal keys. .sam/.bam accepted on
-    both sides by extension. Returns the record count."""
+    both sides by extension. min_mapq/mapped_only implement the reference
+    pipeline's filter stage (SURVEY.md §3.1 "merge/sort/filter"): drop
+    mapped records under min_mapq, and unmapped records entirely with
+    mapped_only. Returns the emitted record count."""
     in_path, out_path = Path(in_path), Path(out_path)
 
     if in_path.suffix == ".bam":
@@ -340,6 +344,11 @@ def coordinate_sort(in_path, out_path) -> int:
         pos = np.fromiter(
             (struct.unpack_from("<i", b, 4)[0] for b in bodies),
             np.int64, count=len(bodies))
+        mapq = np.fromiter((b[9] for b in bodies), np.int64,
+                           count=len(bodies))
+        unmapped = np.fromiter(
+            ((struct.unpack_from("<H", b, 14)[0] & 4) != 0 for b in bodies),
+            bool, count=len(bodies))
         header_lines = text.rstrip("\n").split("\n") if text else []
     else:
         header_lines = []
@@ -354,16 +363,26 @@ def coordinate_sort(in_path, out_path) -> int:
         rid_of = {nm: i for i, nm in enumerate(names)}
         refid = np.empty(len(lines), np.int64)
         pos = np.empty(len(lines), np.int64)
+        mapq = np.empty(len(lines), np.int64)
+        unmapped = np.empty(len(lines), bool)
         for i, ln in enumerate(lines):
-            f = ln.split("\t", 4)
-            unmapped = int(f[1]) & 4
-            refid[i] = -1 if unmapped else rid_of.get(f[2], -1)
+            f = ln.split("\t", 5)
+            unmapped[i] = bool(int(f[1]) & 4)
+            refid[i] = -1 if unmapped[i] else rid_of.get(f[2], -1)
             pos[i] = int(f[3]) - 1
+            mapq[i] = int(f[4])
         bodies = lines
 
+    refid = np.where(unmapped, -1, refid)
+    keep = np.ones(len(bodies), bool)
+    if min_mapq > 0:
+        keep &= unmapped | (mapq >= min_mapq)
+    if mapped_only:
+        keep &= ~unmapped
     # unmapped (refid -1) last: remap to +inf bucket; np.lexsort is stable
     key_ref = np.where(refid < 0, np.int64(2**62), refid)
     order = np.lexsort((pos, key_ref))
+    order = order[keep[order]]
 
     header_lines = _set_so(header_lines, "coordinate")
     header_text = "\n".join(header_lines) + "\n" if header_lines else ""
@@ -388,4 +407,4 @@ def coordinate_sort(in_path, out_path) -> int:
             else:
                 for i in order:
                     out.write(bodies[i] + "\n")
-    return len(bodies)
+    return len(order)

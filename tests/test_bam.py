@@ -91,6 +91,24 @@ def test_coordinate_sort(tmp_path, via):
     assert back.read_text() == out.read_text()
 
 
+@pytest.mark.parametrize("via", ["sam", "bam"])
+def test_sort_filters(tmp_path, via):
+    """min_mapq drops low-MAPQ mapped records (r4 mapq 0, r5 mapq 11);
+    mapped_only drops unmapped (r3)."""
+    src = tmp_path / "in.sam"
+    src.write_text(_sam_text())
+    if via == "bam":
+        b = tmp_path / "in.bam"
+        sam_to_bam(src, b)
+        src = b
+    out = tmp_path / "f.sam"
+    n = coordinate_sort(src, out, min_mapq=20, mapped_only=True)
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert n == 2 and [l.split("\t")[0] for l in lines] == ["r2", "r1"]
+    n = coordinate_sort(src, out, min_mapq=20)
+    assert n == 3  # unmapped r3 survives a mapq-only filter
+
+
 def test_cli_bam_output_and_cluster_ingest(tmp_path, tiny_ref, tiny_index,
                                            small_cfg):
     """align -> .bam directly; cluster consumes the .bam; convert+sort CLI."""
