@@ -189,7 +189,9 @@ def make_cfg():
     # max_occ=16: on this 20Mbp reference P(bucket count > 16) ~ 2e-14 for
     # k=12, so results are identical to max_occ=32 while the seeding
     # position-gather (a dominant stage cost) is halved; sensitivity is
-    # re-verified against simulation truth on every bench run
+    # re-verified against simulation truth on every bench run.
+    # Seed geometry inherits the decided 7/6 operating point (config.py /
+    # BASELINE.md; SWEEP_SEEDS_r03.jsonl has the measured trade-off curve).
     return AlignConfig(max_read_len=READ_LEN, kmer_size=12, batch_size=BATCH_TPU,
                        max_candidates=8, max_occ=16)
 

@@ -31,13 +31,20 @@ class AlignConfig:
     batch_size: int = 1024           # reads per device batch (B)
 
     # --- seeding (k-mer hash index; SURVEY.md §7 "Seeding") ---
-    kmer_size: int = 12              # k: 4 non-overlapping seeds cover 48bp
-    max_seeds: int = 4               # seeds per read at offsets s*stride
-    seed_stride: int = 0             # offset step between seeds; 0 = kmer_size
-                                     # (non-overlapping). Smaller strides give
-                                     # overlapping seeds: a T->C conversion
-                                     # then has to dirty MORE windows to hide
-                                     # a locus (sensitivity knob)
+    kmer_size: int = 12              # k (k=11 measured WORSE: random-hit
+                                     # crowding evicts true diagonals from
+                                     # top-C — SWEEP_TWOPASS_r03.jsonl)
+    max_seeds: int = 7               # seeds per read at offsets s*stride
+    seed_stride: int = 6             # offset step between seeds. The 7/6
+                                     # overlapping layout is the decided
+                                     # operating point (BASELINE.md
+                                     # "Sensitivity operating point"):
+                                     # sensitivity 0.9916 vs 0.9873 for the
+                                     # non-overlapping 4/12 layout at ~15%
+                                     # device throughput cost; an error must
+                                     # dirty every one of 7 windows to hide
+                                     # a locus. 4/12 (max_seeds=4,
+                                     # seed_stride=0) remains the speed point
     max_occ: int = 64                # skip seeds whose k-mer occurs more often
     max_candidates: int = 16         # C: candidate diagonals kept per read/strand
 
