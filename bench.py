@@ -30,13 +30,17 @@ sys.path.insert(0, str(REPO))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
 # benchmark scale (chr22-like synthetic reference; deterministic);
-# batch size is overridable for tuning (PARASUITE_BENCH_BATCH)
+# batch size is overridable for tuning (PARASUITE_BENCH_BATCH).
+# 65536 measured +5.7% over 32768 (wire v2 amortizes per-batch RPC);
+# 131072 adds only +1.1% more for a multi-minute first compile — rejected.
 REF_LEN = 20_000_000
 READ_LEN = 50
-BATCH_TPU = int(os.environ.get("PARASUITE_BENCH_BATCH", 32768))
+BATCH_TPU = int(os.environ.get("PARASUITE_BENCH_BATCH", 65536))
 N_READS_TPU = 16 * BATCH_TPU
-N_READS_CPU = 1024
-BATCH_CPU = 512
+# CPU leg: 4096 reads x 3 best-of rounds — 1024 was short enough that
+# run-to-run scheduler noise moved the denominator ~25% (2-core host)
+N_READS_CPU = 4096
+BATCH_CPU = 1024
 TIMED_ROUNDS = 3
 E2E_ROUNDS = 5
 

@@ -40,7 +40,7 @@ def timeit(fn, *args, rounds=5):
 def main():
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     cfg = bench.make_cfg().replace(batch_size=n_reads)
-    ref, didx, sprof = bench.build_state(cfg, bench.REF_LEN)
+    ref, _index, didx, sprof = bench.build_state(cfg, bench.REF_LEN)
     codes, lengths, _ = simulate_reads(ref, n_reads, bench.READ_LEN, cfg,
                                        seed=2, tc_rate=0.12)
     ms = min_scores_host(lengths, cfg)
