@@ -212,7 +212,11 @@ def cmd_simulate(args) -> int:
         profile_probs=probs, tc_rate=args.tc_rate,
         ins_rate=ins_rate, del_rate=del_rate)
     names = truth.names()
-    write_fastq(args.out, names, codes, lengths)
+    from parasuite_tpu.sim.generate import simulate_quality
+
+    quals = (None if args.flat_qual
+             else simulate_quality(len(names), args.read_len, seed=cfg.seed))
+    write_fastq(args.out, names, codes, lengths, quals=quals)
     n_indels = (int((truth.indel_kind > 0).sum())
                 if truth.indel_kind is not None else 0)
     print(json.dumps({"tool": "simulate", "reads": args.n_reads,
@@ -490,6 +494,9 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true",
                    help="with --profile: draw indels from its learned "
                         "per-cycle rates")
+    p.add_argument("--flat-qual", dest="flat_qual", action="store_true",
+                   help="emit constant 'I' quality strings instead of the "
+                        "decay-model per-cycle qualities")
     _add_cfg_flags(p)
     p.set_defaults(fn=cmd_simulate)
 

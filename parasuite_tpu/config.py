@@ -71,6 +71,16 @@ class AlignConfig:
     cluster_min_reads: int = 2       # drop clusters with fewer reads
     cluster_min_tc: int = 1          # require >=1 T->C conversion in cluster
 
+    # --- combined genome+transcriptome mode (SURVEY.md §2 component 7) ---
+    combined_wire_cap: float = 4.0   # packed-wire candidate entries per read
+                                     # (ops/aligner.PackedCandidates): the
+                                     # device ships cap*batch_size compacted
+                                     # valid tx-row entries; a batch needing
+                                     # more falls back to the unpacked step
+                                     # (correct, slower). ~2-4 valid entries
+                                     # per exonic read is typical, so 4.0
+                                     # holds even for all-exonic libraries
+
     # --- misc ---
     chrom_spacer: int = 256          # N bases packed between chroms (> L + 2W,
                                      # so no alignment window straddles chroms)

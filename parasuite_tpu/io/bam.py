@@ -127,7 +127,12 @@ def _decode_tags(buf: bytes, off: int) -> list[str]:
             out.append(f"{tag}:i:{struct.unpack_from(fmt, buf, off)[0]}")
             off += sz
         elif typ == "f":
-            out.append(f"{tag}:f:{struct.unpack_from('<f', buf, off)[0]:g}")
+            # shortest-round-trip float32 text (ADVICE r3: '%g' silently
+            # reformatted >6-sig-digit values); np.float32 repr is shortest
+            # str(np.float32) is shortest-round-trip; an f-string would
+            # widen to float64 digits via __format__
+            v = str(np.float32(struct.unpack_from("<f", buf, off)[0]))
+            out.append(f"{tag}:f:{v}")
             off += 4
         elif typ == "Z":
             z = buf.index(b"\0", off)
@@ -152,13 +157,19 @@ def _cigar_ops(cig: str) -> list[tuple[int, int]]:
 
 def encode_bam_record(fields: list[str], rid_of: dict[str, int]) -> bytes:
     """One SAM data line (split on tab) -> one BAM record (with block_size
-    prefix)."""
+    prefix). Mate fields (RNEXT/PNEXT/TLEN, SAM columns 7-9) are encoded
+    faithfully so paired-end interchange files round-trip; RNEXT '=' maps to
+    this record's refID per the spec."""
     name = fields[0].encode("ascii")
     flag = int(fields[1])
     refid = rid_of.get(fields[2], -1)
     pos = int(fields[3]) - 1
     mapq = int(fields[4])
     ops = _cigar_ops(fields[5]) if fields[5] != "*" else []
+    rnext = fields[6]
+    next_refid = (refid if rnext == "=" else rid_of.get(rnext, -1))
+    next_pos = int(fields[7]) - 1
+    tlen = int(fields[8])
     seq = fields[9]
     qual = fields[10]
     l_seq = 0 if seq == "*" else len(seq)
@@ -167,7 +178,8 @@ def encode_bam_record(fields: list[str], rid_of: dict[str, int]) -> bytes:
     bam_bin = _reg2bin(max(pos, 0), max(end, 1)) if refid >= 0 else 4680
     body = bytearray()
     body += struct.pack("<iiBBHHHiiii", refid, pos, len(name) + 1, mapq,
-                        bam_bin, len(ops), flag, l_seq, -1, -1, 0)
+                        bam_bin, len(ops), flag, l_seq, next_refid, next_pos,
+                        tlen)
     body += name + b"\0"
     for ln, op in ops:
         body += struct.pack("<I", (ln << 4) | op)
@@ -212,8 +224,18 @@ def decode_bam_record(body: bytes, names: list[str]) -> str:
     else:
         seq = qual = "*"
     rname = names[refid] if refid >= 0 else "*"
+    # RNEXT: '=' when the mate sits on the same reference (the convention
+    # BWA/htsjdk emit); an explicit same-name RNEXT in the source SAM is
+    # therefore normalized to '=' on the round trip (spec-equivalent)
+    if _nref < 0:
+        rnext = "*"
+    elif _nref == refid:
+        rnext = "="
+    else:
+        rnext = names[_nref]
     fields = [qname, str(flag), rname, str(pos + 1), str(mapq), cigar,
-              "*", "0", "0", seq, qual] + _decode_tags(body, off)
+              rnext, str(_npos + 1), str(_tlen), seq, qual] \
+        + _decode_tags(body, off)
     return "\t".join(fields)
 
 
@@ -324,87 +346,136 @@ def _set_so(header_lines: list[str], order: str) -> list[str]:
     return out
 
 
+def _iter_sort_items(in_path: Path, names: list[str]):
+    """Yield (key_ref, pos, payload) per record where payload is the raw
+    INPUT-format record (BAM body bytes or SAM line str) plus flag/mapq for
+    filtering: (key_ref int, pos int, mapq int, unmapped bool, payload)."""
+    if in_path.suffix == ".bam":
+        _text, _names, _lens, recs = iter_bam_records(in_path)
+        for b in recs:
+            refid = struct.unpack_from("<i", b, 0)[0]
+            pos = struct.unpack_from("<i", b, 4)[0]
+            mapq = b[9]
+            unmapped = (struct.unpack_from("<H", b, 14)[0] & 4) != 0
+            key_ref = 2**62 if (unmapped or refid < 0) else refid
+            yield key_ref, pos, mapq, unmapped, b
+    else:
+        rid_of = {nm: i for i, nm in enumerate(names)}
+        with open(in_path) as fh:
+            for ln in fh:
+                ln = ln.rstrip("\n")
+                if not ln or ln.startswith("@"):
+                    continue
+                f = ln.split("\t", 5)
+                unmapped = bool(int(f[1]) & 4)
+                refid = -1 if unmapped else rid_of.get(f[2], -1)
+                key_ref = 2**62 if refid < 0 else refid
+                yield key_ref, int(f[3]) - 1, int(f[4]), unmapped, ln
+
+
 def coordinate_sort(in_path, out_path, min_mapq: int = 0,
-                    mapped_only: bool = False) -> int:
+                    mapped_only: bool = False,
+                    max_in_memory: int = 4_000_000) -> int:
     """Coordinate-sort alignments: (reference id, position) ascending,
     unmapped records last, stable within equal keys. .sam/.bam accepted on
     both sides by extension. min_mapq/mapped_only implement the reference
     pipeline's filter stage (SURVEY.md §3.1 "merge/sort/filter"): drop
     mapped records under min_mapq, and unmapped records entirely with
-    mapped_only. Returns the emitted record count."""
+    mapped_only. Returns the emitted record count.
+
+    Inputs beyond max_in_memory records spill sorted runs to temp files next
+    to the output and k-way merge them (ADVICE r3: the config-5 50M-record
+    input must not materialize in RAM); the merge preserves arrival order on
+    equal keys, so output is identical to the in-memory path."""
+    import heapq
+    import tempfile
+
     in_path, out_path = Path(in_path), Path(out_path)
 
+    # header first (for SAM it precedes every record; for BAM it is upfront)
     if in_path.suffix == ".bam":
-        text, names, lens, recs = iter_bam_records(in_path)
-        bodies = list(recs)
-        # keys sit at fixed offsets in the BAM record — no full decode
-        refid = np.fromiter(
-            (struct.unpack_from("<i", b, 0)[0] for b in bodies),
-            np.int64, count=len(bodies))
-        pos = np.fromiter(
-            (struct.unpack_from("<i", b, 4)[0] for b in bodies),
-            np.int64, count=len(bodies))
-        mapq = np.fromiter((b[9] for b in bodies), np.int64,
-                           count=len(bodies))
-        unmapped = np.fromiter(
-            ((struct.unpack_from("<H", b, 14)[0] & 4) != 0 for b in bodies),
-            bool, count=len(bodies))
+        with gzip.open(in_path, "rb") as fh:
+            text, names, lens = read_bam_header(fh)
         header_lines = text.rstrip("\n").split("\n") if text else []
     else:
         header_lines = []
-        lines: list[str] = []
         with open(in_path) as fh:
             for ln in fh:
-                ln = ln.rstrip("\n")
-                if not ln:
-                    continue
-                (header_lines if ln.startswith("@") else lines).append(ln)
+                if not ln.startswith("@"):
+                    break
+                header_lines.append(ln.rstrip("\n"))
         names, lens = _sam_refs(header_lines)
-        rid_of = {nm: i for i, nm in enumerate(names)}
-        refid = np.empty(len(lines), np.int64)
-        pos = np.empty(len(lines), np.int64)
-        mapq = np.empty(len(lines), np.int64)
-        unmapped = np.empty(len(lines), bool)
-        for i, ln in enumerate(lines):
-            f = ln.split("\t", 5)
-            unmapped[i] = bool(int(f[1]) & 4)
-            refid[i] = -1 if unmapped[i] else rid_of.get(f[2], -1)
-            pos[i] = int(f[3]) - 1
-            mapq[i] = int(f[4])
-        bodies = lines
 
-    refid = np.where(unmapped, -1, refid)
-    keep = np.ones(len(bodies), bool)
-    if min_mapq > 0:
-        keep &= unmapped | (mapq >= min_mapq)
-    if mapped_only:
-        keep &= ~unmapped
-    # unmapped (refid -1) last: remap to +inf bucket; np.lexsort is stable
-    key_ref = np.where(refid < 0, np.int64(2**62), refid)
-    order = np.lexsort((pos, key_ref))
-    order = order[keep[order]]
+    def keep(mapq: int, unmapped: bool) -> bool:
+        if mapped_only and unmapped:
+            return False
+        if min_mapq > 0 and not unmapped and mapq < min_mapq:
+            return False
+        return True
+
+    in_bam = in_path.suffix == ".bam"
+
+    def spill(run: list, tmpdir) -> object:
+        run.sort(key=lambda t: (t[0], t[1]))  # list.sort is stable
+        fh = tempfile.TemporaryFile(dir=tmpdir)
+        for key_ref, pos, payload in run:
+            raw = payload if in_bam else payload.encode("ascii")
+            fh.write(struct.pack("<qqi", key_ref, pos, len(raw)) + raw)
+        fh.seek(0)
+        return fh
+
+    def run_reader(fh):
+        while True:
+            hdr = fh.read(20)
+            if not hdr:
+                fh.close()
+                return
+            key_ref, pos, ln = struct.unpack("<qqi", hdr)
+            raw = fh.read(ln)
+            yield key_ref, pos, (raw if in_bam else raw.decode("ascii"))
+
+    run: list = []
+    spills: list = []
+    tmpdir = out_path.parent if str(out_path.parent) else "."
+    n_out = 0
+    for key_ref, pos, mapq, unmapped, payload in _iter_sort_items(in_path,
+                                                                  names):
+        if not keep(mapq, unmapped):
+            continue
+        run.append((key_ref, pos, payload))
+        if len(run) >= max_in_memory:
+            spills.append(spill(run, tmpdir))
+            run = []
+    if spills:
+        if run:
+            spills.append(spill(run, tmpdir))
+        # heapq.merge breaks key ties by iterator order = spill (arrival)
+        # order; within a run the stable sort kept arrival order — so the
+        # merged stream is globally stable, like the in-memory path
+        merged = heapq.merge(*[run_reader(fh) for fh in spills],
+                             key=lambda t: (t[0], t[1]))
+        ordered = (payload for _k, _p, payload in merged)
+    else:
+        run.sort(key=lambda t: (t[0], t[1]))
+        ordered = (payload for _k, _p, payload in run)
 
     header_lines = _set_so(header_lines, "coordinate")
     header_text = "\n".join(header_lines) + "\n" if header_lines else ""
     if out_path.suffix == ".bam":
+        rid_of = {nm: i for i, nm in enumerate(names)}
         with BgzfWriter(out_path) as out:
             write_bam_header(out, header_text, names, lens)
-            if in_path.suffix == ".bam":
-                for i in order:
-                    b = bodies[i]
-                    out.write(struct.pack("<i", len(b)) + b)
-            else:
-                rid_of = {nm: i for i, nm in enumerate(names)}
-                for i in order:
-                    out.write(encode_bam_record(bodies[i].split("\t"),
-                                                rid_of))
+            for payload in ordered:
+                if in_bam:
+                    out.write(struct.pack("<i", len(payload)) + payload)
+                else:
+                    out.write(encode_bam_record(payload.split("\t"), rid_of))
+                n_out += 1
     else:
         with open(out_path, "w") as out:
             out.write(header_text)
-            if in_path.suffix == ".bam":
-                for i in order:
-                    out.write(decode_bam_record(bodies[i], names) + "\n")
-            else:
-                for i in order:
-                    out.write(bodies[i] + "\n")
-    return len(order)
+            for payload in ordered:
+                out.write((decode_bam_record(payload, names) if in_bam
+                           else payload) + "\n")
+                n_out += 1
+    return n_out

@@ -197,10 +197,17 @@ def read_fastq(path, max_len: int, batch_size: int | None = None) -> ReadBatch:
 
 
 def write_fastq(path, names: list[str], codes: np.ndarray,
-                lengths: np.ndarray, quals: list[bytes] | None = None) -> None:
+                lengths: np.ndarray, quals=None) -> None:
+    """quals: list[bytes], a uint8 [n, L] phred+33 matrix
+    (sim.simulate_quality's layout), or None for constant 'I'."""
     with _open(path, "wb") as fh:
         for i, name in enumerate(names):
             ln = int(lengths[i])
             seq = decode_seq(codes[i, :ln]).encode("ascii")
-            q = quals[i] if quals is not None else b"I" * ln
+            if quals is None:
+                q = b"I" * ln
+            elif isinstance(quals, np.ndarray):
+                q = quals[i, :ln].tobytes()
+            else:
+                q = quals[i]
             fh.write(b"@" + name.encode("ascii") + b"\n" + seq + b"\n+\n" + q + b"\n")

