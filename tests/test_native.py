@@ -192,3 +192,94 @@ def test_sam_cluster_scan_speed_perf_mode(tmp_path, tiny_ref):
     assert dt < 10.0, f"1M-record ingestion took {dt:.1f}s"
     print(f"1M records ingested in {dt:.2f}s "
           f"({n / dt / 1e6:.2f}M rec/s)")
+
+
+def test_bam_formatter_parity(tiny_ref, tiny_index, small_cfg):
+    """Native BAM record formatting must be byte-identical to
+    encode_bam_record applied to the native SAM text, record for record
+    (mapped fwd/rev with mismatches, unmapped)."""
+    from conftest import sample_reads
+
+    from parasuite_tpu import native
+    from parasuite_tpu.io.bam import encode_bam_record
+    from parasuite_tpu.io.batch import ReadBatch
+    from parasuite_tpu.pipeline import AlignerEngine
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(701)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 40, 50, mutate=2)
+    codes[35:] = rng.integers(0, 4, size=(5, 50)).astype(np.int8)
+    names = [f"q{i}" for i in range(40)]
+    quals = [bytes(rng.integers(35, 74, 50).astype(np.uint8))
+             for _ in range(40)]
+    batch = ReadBatch(codes=codes, lengths=lengths, names=names, quals=quals)
+    engine = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    host = engine.align_to_host(batch)
+
+    sam_text = engine._format_native_run(batch, host, 0, 40).decode("ascii")
+    rid_of = {nm: i for i, nm in enumerate(tiny_ref.names)}
+    expect = b"".join(encode_bam_record(l.split("\t"), rid_of)
+                      for l in sam_text.rstrip("\n").split("\n"))
+    got = engine._format_native_run(batch, host, 0, 40,
+                                    fmt=native.bam_format_batch)
+    assert got == expect
+
+
+def test_bgzf_compress_matches_python_writer(tmp_path):
+    """Native BGZF framing must equal io.bam.BgzfWriter byte-for-byte
+    (same zlib parameters, same 65280-byte block cuts) minus the EOF
+    marker the file writer appends."""
+    from parasuite_tpu import native
+    from parasuite_tpu.io.bam import BGZF_EOF, BgzfWriter
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(8)
+    payload = rng.integers(0, 256, 200_001, dtype=np.uint8).tobytes()
+    p = tmp_path / "py.bgzf"
+    with BgzfWriter(p) as w:
+        w.write(payload)
+    py_bytes = p.read_bytes()
+    assert py_bytes.endswith(BGZF_EOF)
+    nat = native.bgzf_compress(payload, 6)
+    assert nat == py_bytes[: -len(BGZF_EOF)]
+    import gzip
+
+    assert gzip.decompress(nat) == payload
+
+
+def test_bam_cluster_scan_parity(tmp_path, tiny_ref, tiny_index, small_cfg):
+    """BAM cluster ingestion (BGZF -> C++ record scan) must produce the
+    same columns as the SAM scanner over the same records, including
+    junction (N) and gapped CIGARs."""
+    from conftest import sample_reads
+
+    from parasuite_tpu import native
+    from parasuite_tpu.io.bam import sam_to_bam
+    from parasuite_tpu.io.batch import ReadBatch
+    from parasuite_tpu.io.sam import SamWriter
+    from parasuite_tpu.pipeline import AlignerEngine
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(702)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 64, 50, mutate=2,
+                                     indel=True)
+    batch = ReadBatch(codes=codes, lengths=lengths,
+                      names=[f"q{i}" for i in range(64)],
+                      quals=[b"I" * 50] * 64)
+    engine = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    host = engine.align_to_host(batch)
+    sam = tmp_path / "c.sam"
+    with SamWriter(sam, tiny_ref) as w:
+        engine.emit_sam(batch, host, w)
+    bam = tmp_path / "c.bam"
+    sam_to_bam(sam, bam)
+
+    pos_s, span_s, tc_s, sk_s = native.sam_cluster_columns(sam, tiny_ref)
+    pos_b, span_b, tc_b, sk_b = native.bam_cluster_columns(bam, tiny_ref)
+    np.testing.assert_array_equal(pos_s, pos_b)
+    np.testing.assert_array_equal(span_s, span_b)
+    np.testing.assert_array_equal(tc_s, tc_b)
+    assert sk_s == sk_b

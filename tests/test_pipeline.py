@@ -283,3 +283,61 @@ def test_xa_gapped_alternate_and_drop_count(small_cfg):
     assert host2.xa[0] is not None
     assert host2.xa[0].count(";") == 2   # exactly xa_limit alternates
     assert eng2.xa_dropped == 2
+
+
+def test_batched_traceback_parity(tiny_ref, tiny_index, small_cfg):
+    """host_tracebacks_batch (one vectorized DP for all gapped reads) must
+    be bit-identical to the per-read host_traceback oracle path — (pos,
+    cigar, nm) for every gapped winner on an indel-rich read set."""
+    from conftest import sample_reads
+
+    from parasuite_tpu.io.batch import ReadBatch
+    from parasuite_tpu.pipeline.align import (AlignerEngine, host_traceback,
+                                              host_tracebacks_batch)
+    from parasuite_tpu.utils.dna import revcomp_codes
+
+    rng = np.random.default_rng(4242)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 160, 50, mutate=1,
+                                     indel=True)
+    eng = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    res = eng.align_device(codes, lengths)
+    import jax
+
+    res = jax.device_get(res)
+    mapped = np.asarray(res.mapped)
+    ug = np.asarray(res.ug_equal)
+    strand = np.asarray(res.strand)
+    diag = np.asarray(res.diag)
+    grows = np.nonzero(mapped & ~ug)[0]
+    assert grows.shape[0] >= 10, "need gapped winners to compare"
+
+    om = np.full((grows.shape[0], 50), 4, dtype=np.int8)
+    for k, b in enumerate(grows):
+        ln = int(lengths[b])
+        om[k, :ln] = (codes[b, :ln] if strand[b] == 0
+                      else revcomp_codes(codes[b, :ln]))
+    got = host_tracebacks_batch(tiny_ref.seq, eng.s_tensor, eng.s_comp,
+                                small_cfg, om, lengths[grows],
+                                strand[grows], diag[grows])
+    for k, b in enumerate(grows):
+        ln = int(lengths[b])
+        exp = host_traceback(tiny_ref.seq, eng.s_tensor, eng.s_comp,
+                             small_cfg, om[k, :ln], ln, int(strand[b]),
+                             int(diag[b]))
+        assert got[k] == exp, f"read {b}: {got[k]} != {exp}"
+
+    # variable lengths through the batched path too
+    lengths2 = lengths[grows].copy()
+    lengths2[::2] = 40
+    om2 = om.copy()
+    for k in range(0, om2.shape[0], 2):
+        om2[k, 40:] = 4
+    got2 = host_tracebacks_batch(tiny_ref.seq, eng.s_tensor, eng.s_comp,
+                                 small_cfg, om2, lengths2, strand[grows],
+                                 diag[grows])
+    for k in range(om2.shape[0]):
+        ln = int(lengths2[k])
+        exp = host_traceback(tiny_ref.seq, eng.s_tensor, eng.s_comp,
+                             small_cfg, om2[k, :ln], ln,
+                             int(strand[grows][k]), int(diag[grows][k]))
+        assert got2[k] == exp

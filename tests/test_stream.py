@@ -183,3 +183,41 @@ def test_simulated_quals_roundtrip_reverse_strand(engine, tiny_ref,
     finally:
         native.available = avail
     assert out_py.read_bytes() == out.read_bytes()
+
+
+def test_bam_streaming_resume_identical(engine, fastq, tmp_path):
+    """Direct BAM streaming (no .tmp.sam) must honor the same
+    truncate-to-committed-offset resume contract: a run resumed after batch
+    2 — with stray bytes flushed past the manifest — produces a .bam
+    byte-identical to the uninterrupted run."""
+    import gzip
+    import json
+
+    from parasuite_tpu.io.bam import BGZF_EOF
+
+    full = tmp_path / "full.bam"
+    streaming_align(engine, fastq, full)
+    assert full.read_bytes().endswith(BGZF_EOF)
+
+    # committed prefix for batches 1-2 = a complete run over the first 64
+    # reads (identical records AND identical per-batch BGZF block cuts)
+    fq64 = tmp_path / "first64.fastq"
+    lines = fastq.read_bytes().splitlines(keepends=True)
+    fq64.write_bytes(b"".join(lines[: 64 * 4]))
+    part = tmp_path / "part.bam"
+    streaming_align(engine, fq64, part)
+    state = json.loads((tmp_path / "part.bam.progress.json").read_text())
+    committed = state["sam_bytes"]
+    with open(part, "r+b") as fh:
+        fh.truncate(committed)       # drop the EOF marker
+        fh.seek(committed)
+        fh.write(b"\x1f\x8b junkjunkjunk")  # "ahead" crash shape
+    (tmp_path / "part.bam.progress.json").write_text(json.dumps(
+        {**state, "complete": False, "batches_done": 2, "records": 64,
+         "batch_records": [32, 32]}))
+
+    n, _, _ = streaming_align(engine, fastq, part, resume=True)
+    assert n == 100
+    assert part.read_bytes() == full.read_bytes()
+    # and the stream is valid BGZF end to end
+    assert gzip.decompress(part.read_bytes())

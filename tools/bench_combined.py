@@ -1,14 +1,16 @@
-"""Combined genome+transcriptome throughput vs plain mode (VERDICT r1 #6:
-"combined-mode throughput within 2x of plain mode on an exon-dense
-reference, 100k+ reads").
+"""Combined genome+transcriptome throughput vs plain mode (VERDICT r3
+next-round #1: "record combined STREAMING throughput ... >= 0.5x plain e2e
+on the 400-transcript world, median-of-5").
 
 Builds a synthetic exon-dense genome (hundreds of multi-exon transcripts),
 simulates reads drawn from BOTH genomic loci and spliced transcripts
-(junction-spanning), and measures reads/s through the full to_host path
-(device step + host projection/finalize) for:
+(junction-spanning), writes them to a FASTQ, and measures:
 
-  * plain  — AlignerEngine over the genome-only reference
-  * combined — CombinedEngine over genome + tx pseudo-chromosomes
+  * plain_stream / combined_stream — reads/s through the FULL production
+    path (streaming_align: FASTQ -> threaded pipeline -> wire-packed device
+    step -> SAM), median of 5 runs after a compile warmup; the headline.
+  * plain_loop / combined_loop — the round-2 unpacked align_device+to_host
+    micro-loop, kept for round-over-round comparability.
 
     timeout 3000 python tools/bench_combined.py [n_reads]
 """
@@ -82,7 +84,12 @@ def make_reads(combined, txs, n_reads, cfg):
     conv = is_t & (rng.random(codes.shape) < 0.12)
     codes = np.where(conv, 1, codes).astype(np.int8)
     ok = ~np.any(codes == 4, axis=1)  # drop reads that straddle spacers
-    return codes[ok], np.full(int(ok.sum()), READ_LEN, dtype=np.int32)
+    codes = codes[ok]
+    # interleave genomic and transcript reads so every device batch sees the
+    # mixed workload (unshuffled, batch 0 would be all-genomic and the tail
+    # batches all-transcript — unrepresentative wire/entry pressure)
+    codes = codes[rng.permutation(codes.shape[0])]
+    return codes, np.full(codes.shape[0], READ_LEN, dtype=np.int32)
 
 
 def time_engine(engine, codes, lengths, batch, label):
@@ -114,6 +121,27 @@ def time_engine(engine, codes, lengths, batch, label):
     return best
 
 
+def stream_engine(engine, fq_path, workdir, n_reads, rounds=5):
+    """Median-of-`rounds` e2e reads/s through streaming_align (the
+    production path), after one warmup run that pays the compile."""
+    import statistics
+
+    from parasuite_tpu.pipeline.stream import streaming_align
+
+    rates = []
+    for r in range(rounds + 1):
+        out = Path(workdir) / "bench_out.sam"
+        t0 = time.perf_counter()
+        n, _, _ = streaming_align(engine, fq_path, out)
+        dt = time.perf_counter() - t0
+        out.unlink(missing_ok=True)
+        Path(str(out) + ".progress.json").unlink(missing_ok=True)
+        assert n == n_reads
+        if r > 0:  # round 0 is the compile warmup
+            rates.append(n / dt)
+    return statistics.median(rates), rates
+
+
 def main() -> int:
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # the image's sitecustomize pins jax to the axon TPU and env vars do
@@ -121,8 +149,11 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    import tempfile
+
     from parasuite_tpu.config import AlignConfig
     from parasuite_tpu.index.kmer import KmerIndex
+    from parasuite_tpu.io.fastq import write_fastq
     from parasuite_tpu.pipeline.align import AlignerEngine
     from parasuite_tpu.pipeline.combined import CombinedEngine
 
@@ -132,6 +163,7 @@ def main() -> int:
                       max_candidates=8, max_occ=16)
     genome, txs, combined = build_world(cfg)
     codes, lengths = make_reads(combined, txs, n_reads, cfg)
+    n_reads = int(codes.shape[0])
 
     cidx = KmerIndex.build(combined.ref.seq, cfg.kmer_size)
     ceng = CombinedEngine(combined, cidx, cfg)
@@ -139,13 +171,35 @@ def main() -> int:
     gidx = KmerIndex.build(gref.seq, cfg.kmer_size)
     geng = AlignerEngine(gref, gidx, cfg)
 
-    plain = time_engine(geng, codes, lengths, batch, "plain")
-    comb = time_engine(ceng, codes, lengths, batch, "combined")
+    with tempfile.TemporaryDirectory() as td:
+        fq = Path(td) / "bench_reads.fastq"
+        write_fastq(fq, [f"b{i}" for i in range(n_reads)], codes, lengths)
+
+        # wire-entry pressure: how full is the PackedCandidates cap?
+        import jax
+        pc = jax.device_get(
+            ceng.align_device_packed(codes[:batch], lengths[:batch])[1])
+        entries_per_read = int(pc.n_sel) / batch
+
+        plain_s, plain_all = stream_engine(geng, fq, td, n_reads)
+        comb_s, comb_all = stream_engine(ceng, fq, td, n_reads)
+
+    plain_l = time_engine(geng, codes, lengths, batch, "plain")
+    comb_l = time_engine(ceng, codes, lengths, batch, "combined")
+    spread = max(abs(a - b) / min(a, b)
+                 for a, b in zip(comb_all, comb_all[1:]))
     print(json.dumps({
-        "n_reads": int(codes.shape[0]), "batch": batch,
-        "plain_reads_per_s": round(plain, 0),
-        "combined_reads_per_s": round(comb, 0),
-        "combined_over_plain": round(plain / comb, 3),
+        "n_reads": n_reads, "batch": batch,
+        "plain_stream_reads_per_s": round(plain_s, 0),
+        "combined_stream_reads_per_s": round(comb_s, 0),
+        "combined_stream_frac_of_plain": round(comb_s / plain_s, 3),
+        "wire_entries_per_read": round(entries_per_read, 3),
+        "wire_cap_per_read": cfg.combined_wire_cap,
+        "plain_loop_reads_per_s": round(plain_l, 0),
+        "combined_loop_reads_per_s": round(comb_l, 0),
+        "combined_over_plain_loop": round(plain_l / comb_l, 3),
+        "stream_rounds": [round(r, 0) for r in comb_all],
+        "max_consecutive_spread": round(spread, 3),
         "n_transcripts": N_TX,
     }))
     return 0
