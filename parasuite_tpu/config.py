@@ -72,14 +72,21 @@ class AlignConfig:
     cluster_min_tc: int = 1          # require >=1 T->C conversion in cluster
 
     # --- combined genome+transcriptome mode (SURVEY.md §2 component 7) ---
-    combined_wire_cap: float = 4.0   # packed-wire candidate entries per read
+    combined_wire_cap: float = 1.0   # packed-wire candidate entries per read
                                      # (ops/aligner.PackedCandidates): the
                                      # device ships cap*batch_size compacted
-                                     # valid tx-row entries; a batch needing
-                                     # more falls back to the unpacked step
-                                     # (correct, slower). ~2-4 valid entries
-                                     # per exonic read is typical, so 4.0
-                                     # holds even for all-exonic libraries
+                                     # entries for rows the in-step genome
+                                     # projection could NOT fully resolve
+                                     # (junction-spanning/gapped/off-end
+                                     # candidates — a few % of reads, ~2-3
+                                     # entries each); a batch needing more
+                                     # falls back to the unpacked step
+                                     # (correct, slower)
+    combined_wire_jun_cap: float = 0.5  # junction winners per read the wire
+                                     # can carry (row + spliced offset, 8 B
+                                     # each — the host only assembles their
+                                     # N CIGARs); overflow falls back to
+                                     # the unpacked step
 
     # --- misc ---
     chrom_spacer: int = 256          # N bases packed between chroms (> L + 2W,

@@ -36,13 +36,13 @@ def _load():
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.ps_abi_version.restype = ctypes.c_int32
-        if lib.ps_abi_version() != 3:
+        if lib.ps_abi_version() != 4:
             # stale build: rebuild once and retry
             subprocess.run(["make", "-s", "-B", "-C", str(_DIR)], timeout=120,
                            capture_output=True, check=True)
             lib = ctypes.CDLL(str(_LIB_PATH))
             lib.ps_abi_version.restype = ctypes.c_int32
-            if lib.ps_abi_version() != 3:
+            if lib.ps_abi_version() != 4:
                 return None
         lib.ps_kmer_index_build.restype = ctypes.c_int64
         lib.ps_kmer_index_build.argtypes = [
@@ -137,14 +137,19 @@ def sam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
                      rnames: list, flag: np.ndarray, rname_idx: np.ndarray,
                      pos1: np.ndarray, packed_pos: np.ndarray,
                      mapq: np.ndarray, nm: np.ndarray, x0: np.ndarray,
-                     x1: np.ndarray, score: np.ndarray) -> bytes:
-    """Format a run of ungapped/unmapped records (bytes identical to
-    io.sam.format_record, including the MD tag). Raises if the native
-    library is unavailable — callers fall back to the Python formatter.
+                     x1: np.ndarray, score: np.ndarray,
+                     cigars=None) -> bytes:
+    """Format a run of records (bytes identical to io.sam.format_record,
+    including the MD tag). Raises if the native library is unavailable —
+    callers fall back to the Python formatter.
 
     names: either a (blob bytes, offsets int64 [n+1]) pair — the NameBlock
     raw layout the C++ FASTQ scanner emits, zero per-record work — or a
-    list[str] (joined here, slow-path convenience)."""
+    list[str] (joined here, slow-path convenience).
+    cigars: optional (cig_off int64 [n+1], ops uint8, lens int32) flat
+    arrays (op codes 0=M 1=I 2=D 3=N); an empty per-record range means the
+    default single "LM" run, so junction/gapped records format natively in
+    the same single call as everyone else."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -152,7 +157,7 @@ def sam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
         lib.ps_sam_format_batch.restype = ctypes.c_int64
         lib.ps_sam_format_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                             ctypes.c_int64, ctypes.c_int32] \
-            + [ctypes.c_void_p] * 17 + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 20 + [ctypes.c_int64]
         lib.ps_sam_format_batch._configured = True
     if isinstance(names, tuple):
         names_b, name_off = names
@@ -177,7 +182,19 @@ def sam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
     packed_pos = a64(packed_pos)
     ref_seq = np.ascontiguousarray(ref_seq, dtype=np.int8)
 
-    cap = int(n * (max_len * 2 + name_off[-1] // max(n, 1) + 160) + 4096)
+    if cigars is not None:
+        cig_off, cig_ops, cig_lens = cigars
+        cig_off = np.ascontiguousarray(cig_off, dtype=np.int64)
+        cig_ops = np.ascontiguousarray(cig_ops, dtype=np.uint8)
+        cig_lens = np.ascontiguousarray(cig_lens, dtype=np.int32)
+        cp_off, cp_ops, cp_lens = (cig_off.ctypes.data, cig_ops.ctypes.data,
+                                   cig_lens.ctypes.data)
+        extra = int(cig_lens.sum()) + 8 * cig_ops.shape[0]
+    else:
+        cp_off = cp_ops = cp_lens = None
+        extra = 0
+    cap = int(n * (max_len * 2 + name_off[-1] // max(n, 1) + 160) + 4096
+              + 4 * extra)
     out = ctypes.create_string_buffer(cap)
     w = lib.ps_sam_format_batch(
         ref_seq.ctypes.data, ref_seq.shape[0], n, max_len,
@@ -187,6 +204,7 @@ def sam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
         flag.ctypes.data, rname_idx.ctypes.data, pos1.ctypes.data,
         packed_pos.ctypes.data, mapq.ctypes.data, nm.ctypes.data,
         x0.ctypes.data, x1.ctypes.data, score.ctypes.data,
+        cp_off, cp_ops, cp_lens,
         out, cap)
     if w < 0:
         raise RuntimeError("ps_sam_format_batch failed (buffer/input)")
@@ -199,8 +217,9 @@ def bam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
                      rnames: list, flag: np.ndarray, rname_idx: np.ndarray,
                      pos1: np.ndarray, packed_pos: np.ndarray,
                      mapq: np.ndarray, nm: np.ndarray, x0: np.ndarray,
-                     x1: np.ndarray, score: np.ndarray) -> bytes:
-    """Format a run of ungapped/unmapped records as BAM record bytes —
+                     x1: np.ndarray, score: np.ndarray,
+                     cigars=None) -> bytes:
+    """Format a run of records as BAM record bytes —
     byte-identical to io.bam.encode_bam_record applied to
     sam_format_batch's text (enforced by tests/test_native.py). Same
     signature as sam_format_batch so AlignerEngine.emit_bam mirrors
@@ -212,7 +231,7 @@ def bam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
         lib.ps_bam_format_batch.restype = ctypes.c_int64
         lib.ps_bam_format_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                             ctypes.c_int64, ctypes.c_int32] \
-            + [ctypes.c_void_p] * 17 + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 20 + [ctypes.c_int64]
         lib.ps_bam_format_batch._configured = True
     if isinstance(names, tuple):
         names_b, name_off = names
@@ -236,7 +255,19 @@ def bam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
     packed_pos = np.ascontiguousarray(packed_pos, dtype=np.int64)
     ref_seq = np.ascontiguousarray(ref_seq, dtype=np.int8)
 
-    cap = int(n * (max_len * 2 + name_off[-1] // max(n, 1) + 200) + 4096)
+    if cigars is not None:
+        cig_off, cig_ops, cig_lens = cigars
+        cig_off = np.ascontiguousarray(cig_off, dtype=np.int64)
+        cig_ops = np.ascontiguousarray(cig_ops, dtype=np.uint8)
+        cig_lens = np.ascontiguousarray(cig_lens, dtype=np.int32)
+        cp_off, cp_ops, cp_lens = (cig_off.ctypes.data, cig_ops.ctypes.data,
+                                   cig_lens.ctypes.data)
+        extra = int(cig_lens.sum()) + 8 * cig_ops.shape[0]
+    else:
+        cp_off = cp_ops = cp_lens = None
+        extra = 0
+    cap = int(n * (max_len * 2 + name_off[-1] // max(n, 1) + 200) + 4096
+              + 4 * extra)
     out = ctypes.create_string_buffer(cap)
     w = lib.ps_bam_format_batch(
         ref_seq.ctypes.data, ref_seq.shape[0], n, max_len,
@@ -246,6 +277,7 @@ def bam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
         flag.ctypes.data, rname_idx.ctypes.data, pos1.ctypes.data,
         packed_pos.ctypes.data, mapq.ctypes.data, nm.ctypes.data,
         x0.ctypes.data, x1.ctypes.data, score.ctypes.data,
+        cp_off, cp_ops, cp_lens,
         out, cap)
     if w < 0:
         raise RuntimeError("ps_bam_format_batch failed (buffer/input)")

@@ -164,7 +164,7 @@ int64_t ps_fastq_scan(const char* buf, int64_t len, int64_t max_reads,
 }
 
 // library version tag for the ctypes wrapper's compatibility check
-int32_t ps_abi_version(void) { return 3; }
+int32_t ps_abi_version(void) { return 4; }
 
 // ---------------------------------------------------------------------------
 // SAM cluster-ingestion scanner (SURVEY.md §3.5; BASELINE config 5 scale).
@@ -307,9 +307,7 @@ int64_t ps_sam_cluster_scan(
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// Batch SAM record formatter for the dominant record shapes (ungapped "LM"
-// mapped records and unmapped records) — the host-side Python formatter
-// handles the rare gapped/junction CIGARs. Emits the same bytes as
+// Batch SAM record formatter. Emits the same bytes as
 // io/sam.py::format_record (parity enforced by tests/test_native.py).
 //
 // ref:        int8 packed reference codes (for NM-checked MD tag)
@@ -319,6 +317,11 @@ extern "C" {
 // For record i: flag[i] in {0,4,16}; rname_idx[i]; pos1[i] 1-based local;
 // packed_pos[i] packed coordinate of the alignment start (for MD);
 // if flag==4 only name/codes/qual are used.
+// cig_off/cig_ops/cig_lens: optional per-record CIGARs (cig_off int64
+// [n+1] into the flat op arrays; op codes 0=M 1=I 2=D 3=N — BAM opcodes).
+// cig_off == NULL, or an empty range, means the default single "LM" run —
+// so junction (N) and gapped (I/D) records format natively too, one call
+// per batch instead of one per run fragment.
 // Returns bytes written into out (cap bytes) or -1 if out too small.
 // ---------------------------------------------------------------------------
 int64_t ps_sam_format_batch(
@@ -331,9 +334,11 @@ int64_t ps_sam_format_batch(
     const int32_t* flag, const int32_t* rname_idx, const int32_t* pos1,
     const int64_t* packed_pos, const int32_t* mapq, const int32_t* nm,
     const int32_t* x0, const int32_t* x1, const int32_t* score,
+    const int64_t* cig_off, const uint8_t* cig_ops, const int32_t* cig_lens,
     char* out, int64_t cap) {
     static const char BASE[5] = {'A', 'C', 'G', 'T', 'N'};
     static const char COMP[5] = {'T', 'G', 'C', 'A', 'N'};
+    static const char OPC[4] = {'M', 'I', 'D', 'N'};
     int64_t w = 0;
 
     auto put = [&](const char* s, int64_t ln) -> bool {
@@ -364,6 +369,14 @@ int64_t ps_sam_format_batch(
         const char* qrow = quals + i * int64_t(max_len);
         const bool rev = (flag[i] & 0x10) != 0;
         const bool unmapped = (flag[i] & 0x4) != 0;
+        const int64_t c0 = cig_off ? cig_off[i] : 0;
+        const int64_t nops = cig_off ? cig_off[i + 1] - c0 : 0;
+        // aligned (genome-frame) read base at offset k
+        auto aligned = [&](int64_t k) -> int {
+            const int8_t m = rev ? crow[L - 1 - k] : crow[k];
+            const int c = (m >= 0 && m < 4) ? m : 4;
+            return rev ? (c < 4 ? 3 - c : 4) : c;
+        };
         // QNAME FLAG
         if (!put(names + name_off[i], name_off[i + 1] - name_off[i]))
             return -1;
@@ -375,8 +388,18 @@ int64_t ps_sam_format_batch(
             int64_t rl = rname_off[rname_idx[i] + 1] - rname_off[rname_idx[i]];
             if (!put(rn, rl)) return -1;
             put_c('\t'); put_int(pos1[i]); put_c('\t'); put_int(mapq[i]);
-            put_c('\t'); put_int(L);
-            if (!put("M\t*\t0\t0\t", 8)) return -1;
+            put_c('\t');
+            if (nops == 0) {
+                put_int(L);
+                if (!put_c('M')) return -1;
+            } else {
+                for (int64_t c = 0; c < nops; ++c) {
+                    if (cig_ops[c0 + c] > 3) return -1;
+                    put_int(cig_lens[c0 + c]);
+                    if (!put_c(OPC[cig_ops[c0 + c]])) return -1;
+                }
+            }
+            if (!put("\t*\t0\t0\t", 7)) return -1;
         }
         // SEQ
         if (w + L + 1 > cap) return -1;
@@ -412,42 +435,64 @@ int64_t ps_sam_format_batch(
         if (!put("\tAS:i:", 6)) return -1;
         put_int(score[i]);
         if (!put("\tMD:Z:", 6)) return -1;
-        // MD over a single L-length M run at packed_pos; aligned read =
-        // (revcomp'd if rev) machine read. nm==0 (the common case) needs no
-        // per-base walk: MD is just the match-run length (nm is the device's
-        // parity-tested mismatch count over exactly these bases).
+        // MD walk over the CIGAR (samtools convention: match run lengths,
+        // mismatch ref bases, ^-prefixed deletions; I consumes no MD, N
+        // skips silently) — io/sam.py::md_tag semantics
         {
-            int64_t p = packed_pos[i];
-            if (p < 0 || p + L > ref_len) return -1;
-            if (nm[i] == 0) {
-                put_int(L);
-            } else {
-                int run = 0;
-                if (rev) {
+            int64_t ri = packed_pos[i];
+            int64_t qi = 0;
+            int run = 0;
+            if (nops == 0) {
+                // single L-length M; nm==0 fast path: MD is the run length
+                if (ri < 0 || ri + L > ref_len) return -1;
+                if (nm[i] == 0) {
+                    put_int(L);
+                } else {
                     for (int32_t k = 0; k < L; ++k) {
-                        int rb = ref[p + k];
+                        int rb = ref[ri + k];
                         if (rb < 0 || rb > 4) rb = 4;
-                        const int8_t m = crow[L - 1 - k];
-                        const int cb = (m >= 0 && m < 4) ? 3 - m : 4;
-                        if (rb == cb && rb < 4) { ++run; }
+                        if (rb == aligned(k) && rb < 4) { ++run; }
                         else {
                             put_int(run);
                             if (!put_c(BASE[rb])) return -1;
                             run = 0;
                         }
                     }
-                } else {
-                    for (int32_t k = 0; k < L; ++k) {
-                        int rb = ref[p + k];
-                        if (rb < 0 || rb > 4) rb = 4;
-                        const int8_t m = crow[k];
-                        const int cb = (m >= 0 && m < 4) ? m : 4;
-                        if (rb == cb && rb < 4) { ++run; }
-                        else {
-                            put_int(run);
-                            if (!put_c(BASE[rb])) return -1;
-                            run = 0;
+                    put_int(run);
+                }
+            } else {
+                for (int64_t c = 0; c < nops; ++c) {
+                    const int64_t ln = cig_lens[c0 + c];
+                    const uint8_t op = cig_ops[c0 + c];
+                    if (op == 0) {                       // M
+                        if (ri < 0 || ri + ln > ref_len || qi + ln > L)
+                            return -1;
+                        for (int64_t k = 0; k < ln; ++k) {
+                            int rb = ref[ri + k];
+                            if (rb < 0 || rb > 4) rb = 4;
+                            if (rb == aligned(qi + k) && rb < 4) { ++run; }
+                            else {
+                                put_int(run);
+                                if (!put_c(BASE[rb])) return -1;
+                                run = 0;
+                            }
                         }
+                        ri += ln; qi += ln;
+                    } else if (op == 1) {                // I
+                        qi += ln;
+                    } else if (op == 2) {                // D
+                        if (ri < 0 || ri + ln > ref_len) return -1;
+                        put_int(run);
+                        run = 0;
+                        if (!put_c('^')) return -1;
+                        for (int64_t k = 0; k < ln; ++k) {
+                            int rb = ref[ri + k];
+                            if (rb < 0 || rb > 4) rb = 4;
+                            if (!put_c(BASE[rb])) return -1;
+                        }
+                        ri += ln;
+                    } else {                             // N
+                        ri += ln;
                     }
                 }
                 put_int(run);
@@ -489,6 +534,7 @@ int64_t ps_bam_format_batch(
     const int32_t* flag, const int32_t* rname_idx, const int32_t* pos1,
     const int64_t* packed_pos, const int32_t* mapq, const int32_t* nm,
     const int32_t* x0, const int32_t* x1, const int32_t* score,
+    const int64_t* cig_off, const uint8_t* cig_ops, const int32_t* cig_lens,
     char* out, int64_t cap) {
     (void)rnames; (void)rname_off;
     // SAM nibble codes for machine codes 0..4 (A,C,G,T,N) and complements
@@ -517,43 +563,77 @@ int64_t ps_bam_format_batch(
         const bool unmapped = (flag[i] & 0x4) != 0;
         const int64_t nlen = name_off[i + 1] - name_off[i];
         if (nlen + 1 > 255) return -1;
+        const int64_t c0 = cig_off ? cig_off[i] : 0;
+        const int64_t nops = (cig_off && !unmapped) ? cig_off[i + 1] - c0 : 0;
+        auto aligned = [&](int64_t k) -> int {
+            const int8_t m = rev ? crow[L - 1 - k] : crow[k];
+            const int c = (m >= 0 && m < 4) ? m : 4;
+            return rev ? (c < 4 ? 3 - c : 4) : c;
+        };
+
+        int64_t ref_span = 0;
+        if (!unmapped) {
+            if (nops == 0) ref_span = L;
+            else
+                for (int64_t c = 0; c < nops; ++c)
+                    if (cig_ops[c0 + c] != 1) ref_span += cig_lens[c0 + c];
+        }
 
         int mdlen = 0;
         if (!unmapped) {
-            // MD over one L-length M run (same walk as ps_sam_format_batch)
-            const int64_t p = packed_pos[i];
-            if (p < 0 || p + L > ref_len) return -1;
-            if (nm[i] == 0) {
+            // MD walk over the CIGAR (io/sam.py::md_tag semantics)
+            int64_t ri = packed_pos[i];
+            int64_t qi = 0;
+            int run = 0;
+            char* m = md;
+            auto flushrun = [&]() {
+                m += std::snprintf(m, size_t(md + sizeof md - m), "%d", run);
+                run = 0;
+            };
+            if (nops == 0 && nm[i] == 0) {
+                if (ri < 0 || ri + L > ref_len) return -1;
                 mdlen = std::snprintf(md, sizeof md, "%d", L);
             } else {
-                int run = 0;
-                char* m = md;
-                auto flushrun = [&]() {
-                    m += std::snprintf(m, size_t(md + sizeof md - m), "%d",
-                                       run);
-                    run = 0;
-                };
-                for (int32_t k = 0; k < L; ++k) {
-                    int rb = ref[p + k];
-                    if (rb < 0 || rb > 4) rb = 4;
-                    int cb;
-                    if (rev) {
-                        const int8_t mm = crow[L - 1 - k];
-                        cb = (mm >= 0 && mm < 4) ? 3 - mm : 4;
+                const int64_t n_walk = nops == 0 ? 1 : nops;
+                for (int64_t c = 0; c < n_walk; ++c) {
+                    const int64_t ln = nops == 0 ? L : cig_lens[c0 + c];
+                    const uint8_t op = nops == 0 ? 0 : cig_ops[c0 + c];
+                    if (op == 0) {
+                        if (ri < 0 || ri + ln > ref_len || qi + ln > L)
+                            return -1;
+                        for (int64_t k = 0; k < ln; ++k) {
+                            int rb = ref[ri + k];
+                            if (rb < 0 || rb > 4) rb = 4;
+                            if (rb == aligned(qi + k) && rb < 4) { ++run; }
+                            else { flushrun(); *m++ = BASE[rb]; }
+                            if (m - md > int64_t(sizeof md) - 16) return -1;
+                        }
+                        ri += ln; qi += ln;
+                    } else if (op == 1) {
+                        qi += ln;
+                    } else if (op == 2) {
+                        if (ri < 0 || ri + ln > ref_len) return -1;
+                        flushrun();
+                        *m++ = '^';
+                        for (int64_t k = 0; k < ln; ++k) {
+                            int rb = ref[ri + k];
+                            if (rb < 0 || rb > 4) rb = 4;
+                            *m++ = BASE[rb];
+                            if (m - md > int64_t(sizeof md) - 16) return -1;
+                        }
+                        ri += ln;
+                    } else if (op == 3) {
+                        ri += ln;
                     } else {
-                        const int8_t mm = crow[k];
-                        cb = (mm >= 0 && mm < 4) ? mm : 4;
+                        return -1;
                     }
-                    if (rb == cb && rb < 4) { ++run; }
-                    else { flushrun(); *m++ = BASE[rb]; }
-                    if (m - md > int64_t(sizeof md) - 16) return -1;
                 }
                 flushrun();
                 mdlen = int(m - md);
             }
         }
 
-        const int32_t n_cig = unmapped ? 0 : 1;
+        const int32_t n_cig = unmapped ? 0 : int32_t(nops == 0 ? 1 : nops);
         // tags: XT:A:c (4) + 3x i32 tags (NM,X0,X1 -> 7 each) + AS (7)
         //       + MD:Z: (3 + mdlen + 1) for mapped records; none unmapped
         const int32_t tag_bytes = unmapped ? 0
@@ -568,10 +648,10 @@ int64_t ps_bam_format_batch(
         put_i32(int32_t(pos0));
         put_u8(uint8_t(nlen + 1));
         put_u8(uint8_t(unmapped ? 0 : mapq[i]));
+        const int64_t span1 = ref_span > 1 ? ref_span : 1;
         const int32_t bin = unmapped ? 4680
             : bam_reg2bin(pos0 > 0 ? pos0 : 0,
-                          (pos0 + (L > 1 ? L : 1)) > 1
-                              ? pos0 + (L > 1 ? L : 1) : 1);
+                          (pos0 + span1) > 1 ? pos0 + span1 : 1);
         put_u16(uint16_t(bin));
         put_u16(uint16_t(n_cig));
         put_u16(uint16_t(flag[i]));
@@ -581,7 +661,16 @@ int64_t ps_bam_format_batch(
         put_i32(0);           // tlen
         put(names + name_off[i], nlen);
         put_u8(0);
-        if (!unmapped) put_i32((L << 4) | 0);  // "LM"
+        if (!unmapped) {
+            if (nops == 0) {
+                put_i32((L << 4) | 0);  // "LM"
+            } else {
+                for (int64_t c = 0; c < nops; ++c) {
+                    if (cig_ops[c0 + c] > 3) return -1;
+                    put_i32((cig_lens[c0 + c] << 4) | cig_ops[c0 + c]);
+                }
+            }
+        }
         // SEQ nibbles (genome orientation: revcomp for reverse strand —
         // unmapped records keep machine orientation, like the SAM text)
         {

@@ -335,14 +335,51 @@ def finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
     j_sel = jnp.where(ug_eq, ugj, dpj)
     pos_key = diag - W + j_sel
     valid = valid0 & (dps >= min_scores[:, None])
+    n_candidates = jnp.sum(valid0, axis=1).astype(jnp.int32)
+    return finalize_core(oriented, lengths, valid, strand, pos_key, dps,
+                         ug_eq, diag, n_candidates, didx, sprof, cfg)[0]
+
+
+def finalize_core(oriented, lengths, valid, strand, pos_key, dps, ug_eq,
+                  diag, n_candidates, didx: DeviceIndex, sprof: ScoreParams,
+                  cfg: AlignConfig, src=None, nm_pos=None, nm_strand=None):
+    """Selection half of finalize over per-entry [B, n] arrays.
+    -> (AlignResult, best_idx [B] int32).
+
+    Factored out so combined mode can re-run the identical selection on
+    GENOME-PROJECTED entry (strand, pos_key) values (device-side projection
+    of transcript candidates, align_batch_combined_packed):
+
+      * src (optional, [B, n] int32 0/1): dedupe tie-break tier between
+        equal-score same-key twins — genome-source (0) entries survive over
+        transcript (1) ones, matching the host slow path's preference (the
+        surviving twin decides the emitted CIGAR for junction hits);
+      * nm_pos / nm_strand (optional): the window used for the winner's
+        NM / T->C counts. Junction winners' GENOME window is discontiguous,
+        so their counts use the original combined-space (transcript) window
+        — the same bases the genome M segments cover, frame-invariant.
+    """
+    B, n = valid.shape
+    L = oriented.shape[2]
+    G = didx.ref_seq.shape[0]
+    if nm_pos is None:
+        nm_pos = pos_key
+    if nm_strand is None:
+        nm_strand = strand
 
     # dedupe by (strand, pos_key): an entry is a duplicate if a strictly
-    # better twin exists — higher score, or equal score and lower index
+    # better twin exists — higher score, or equal score and lower (src,
+    # index) tier
     same = (strand[:, :, None] == strand[:, None, :]) & \
            (pos_key[:, :, None] == pos_key[:, None, :])
+    idx_tier = (jnp.arange(n)[None, :] < jnp.arange(n)[:, None])[None]
+    if src is not None:
+        tie = (src[:, None, :] < src[:, :, None]) | \
+              ((src[:, None, :] == src[:, :, None]) & idx_tier)
+    else:
+        tie = idx_tier
     better = (dps[:, None, :] > dps[:, :, None]) | \
-             ((dps[:, None, :] == dps[:, :, None]) &
-              (jnp.arange(n)[None, :] < jnp.arange(n)[:, None])[None])
+             ((dps[:, None, :] == dps[:, :, None]) & tie)
     dup = jnp.any(same & better & valid[:, None, :], axis=2)
     uv = valid & ~dup
 
@@ -370,6 +407,8 @@ def finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
     sel_diag = pick(diag)
     sel_ug_eq = pick(ug_eq)
     sel_score = pick(dps)
+    sel_nm_pos = pick(nm_pos)
+    sel_nm_strand = pick(nm_strand)
 
     # chromosome-boundary policy (oracle: whole ungapped span in one chrom)
     ci = jnp.clip(
@@ -386,15 +425,16 @@ def finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
                                               pack_reference, split_base,
                                               unpack_positions)
     i = jnp.arange(L)
-    ridx = sel_pos[:, None] + i[None, :]
+    ridx = sel_nm_pos[:, None] + i[None, :]
     words = pack_reference(didx.ref_seq)
-    base_q, base_r = split_base(jnp.clip(sel_pos, -(L + 1), G))
+    base_q, base_r = split_base(jnp.clip(sel_nm_pos, -(L + 1), G))
     n_rows = (L + 8) // 10 + 1
     wrows = gather_window_rows(words, base_q, n_rows)          # [n_rows, B]
     codes_ref = unpack_positions(wrows.T, base_r, i)           # [B, L]
     rb = jnp.where((ridx >= 0) & (ridx < G), codes_ref, 4).astype(jnp.int32)
     sel_read = jnp.take_along_axis(
-        oriented, sel_strand[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        oriented, sel_nm_strand[:, None, None].astype(jnp.int32),
+        axis=1)[:, 0]
     mm = (rb != sel_read) | (rb == 4) | (sel_read == 4)
     in_len = i[None, :] < lengths[:, None]
     nm = jnp.sum(jnp.where(in_len, mm, False), axis=1).astype(jnp.int32)
@@ -402,7 +442,7 @@ def finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
     # machine-frame T->C over the ungapped span (the ref window is already
     # in registers here, so this is free bandwidth-wise); genome-strand view:
     # fwd (ref T, read C), rev (ref A, read G) — oracle align_read _tc_from_cigar
-    tc_hit = jnp.where(sel_strand[:, None] == 1,
+    tc_hit = jnp.where(sel_nm_strand[:, None] == 1,
                        (rb == 0) & (sel_read == 2),
                        (rb == 3) & (sel_read == 1))
     tc = jnp.sum(jnp.where(in_len, tc_hit, False), axis=1).astype(jnp.int32)
@@ -418,9 +458,9 @@ def finalize(oriented, lengths, min_scores, cand_diag, cand_valid,
         ug_equal=jnp.where(mapped, sel_ug_eq, True),
         nm=jnp.where(mapped, nm, 0),
         diag=jnp.where(mapped, sel_diag, 0),
-        n_candidates=jnp.sum(valid0, axis=1).astype(jnp.int32),
+        n_candidates=n_candidates,
         tc_count=jnp.where(mapped & sel_ug_eq, tc, 0),
-    )
+    ), best_idx.astype(jnp.int32)
 
 
 class PackedResult(NamedTuple):
@@ -536,6 +576,18 @@ def align_batch_packed(didx: DeviceIndex, sprof: ScoreParams,
     return out, counts
 
 
+class PackedJunctions(NamedTuple):
+    """Junction winners of device-finalized rows (combined packed wire):
+    row index + spliced-table offset q0 — the host assembles the N CIGAR
+    from gpos_tab[q0 : q0+len] (one window gather + a diff); every other
+    field of the record is already final in the PackedResult. n_jun beyond
+    the cap falls back to the unpacked step, like PackedCandidates."""
+
+    n_jun: jnp.ndarray   # int32 []
+    row: jnp.ndarray     # int32 [K]
+    q0: jnp.ndarray      # int32 [K]
+
+
 class PackedCandidates(NamedTuple):
     """Entry-compacted CandidateTable for the wire (combined mode; VERDICT
     r3 missing #2 / next-round #1).
@@ -569,27 +621,136 @@ class PackedCandidates(NamedTuple):
     flags: jnp.ndarray   # uint8 [K]
 
 
+class TxDeviceTables(NamedTuple):
+    """Transcript/projection lookup tables resident on device (int32
+    pytree) for the in-step genome projection of transcript candidates
+    (combined mode). Everything is O(1) gathers — `jnp.searchsorted` over
+    [B, 2C] queries measured 70-108 ms/batch on v5e (binary-search scans of
+    element gathers), which would have eaten the entire wire win:
+
+      * page_lut[pos >> page_shift] + one compare -> chromosome index
+        (exact because page_shift is chosen so no page holds more than one
+        chromosome boundary — CombinedEngine derives it from the minimum
+        inter-chromosome gap);
+      * gpos_tab[spliced_offset + s] -> chrom-local genomic position of
+        every spliced base (plus frame); single-exon-ness is then just a
+        CONTIGUITY check of the window's two endpoints — no exon search.
+
+    Memory: 4 B per spliced transcript base + 4 B per 256 packed bases —
+    int32-safe and HBM-cheap for any transcriptome under 2 Gbp spliced
+    (guarded in CombinedEngine)."""
+
+    minus: jnp.ndarray         # bool  [T]  '-' strand transcript
+    tlen: jnp.ndarray          # int32 [T]  spliced length
+    gchrom_start: jnp.ndarray  # int32 [T]  packed start of the genome chrom
+    sp_off: jnp.ndarray        # int32 [T]  offset into gpos_tab
+    gpos_tab: jnp.ndarray      # int32 [S]  spliced-plus -> chrom-local gpos
+    page_lut: jnp.ndarray      # int32 [G/256 + 1] page -> chrom index
+    starts_ext: jnp.ndarray    # int32 [n_chroms + 1] chrom starts, +inf tail
+
+
+def project_candidates_device(table: CandidateTable, lengths: jnp.ndarray,
+                              didx: DeviceIndex, txt: TxDeviceTables,
+                              n_genome: int, tx_boundary: int,
+                              page_shift: int):
+    """Per-entry genome projection for the combined packed step.
+
+    -> (proj_pos, proj_strand, is_tx, simple, q0, noncontig), all [B, n].
+    An entry is `simple` when the device can finalize its SELECTION
+    (dedupe/rank/X0/MAPQ and genomic start) exactly as the host slow path
+    would: genome-direct ungapped entries inside one chromosome, or
+    transcript ungapped entries fully inside their transcript — including
+    JUNCTION-spanning ones, whose genomic start is gpos_tab[q0] and whose
+    only host-side need is assembling the N CIGAR. noncontig marks the
+    junction case (projected window not genomically contiguous); q0 is the
+    entry's offset into the spliced->genomic table, which is all the host
+    needs to build that CIGAR. Rows whose valid entries are all simple
+    never ship their candidate list."""
+    pos = table.pos
+    L = lengths[:, None]
+    G = didx.ref_seq.shape[0]
+    T = txt.tlen.shape[0]
+    S = txt.gpos_tab.shape[0]
+    page = jnp.clip(pos, 0, G - 1) >> page_shift
+    ci0 = txt.page_lut[page]
+    ci = ci0 + (pos >= txt.starts_ext[ci0 + 1])
+    is_tx = pos >= tx_boundary
+    txi = jnp.clip(ci - n_genome, 0, max(T - 1, 0))
+    local = pos - didx.chrom_starts[jnp.clip(ci, 0,
+                                             didx.chrom_starts.shape[0] - 1)]
+    tl = txt.tlen[txi]
+    minus = txt.minus[txi]
+    s0 = jnp.where(minus, tl - (local + L), local)
+    ok_p = (local >= 0) & (local + L <= tl) & (s0 >= 0)
+    q0 = jnp.clip(s0, 0, None) + txt.sp_off[txi]
+    gpos = txt.gpos_tab[jnp.clip(q0, 0, S - 1)]
+    gend = txt.gpos_tab[jnp.clip(q0 + L - 1, 0, S - 1)]
+    contig = gend == gpos + L - 1
+    gpacked = txt.gchrom_start[txi] + gpos
+    proj_pos = jnp.where(is_tx, gpacked, pos)
+    proj_strand = jnp.where(is_tx & minus, 1 - table.strand, table.strand)
+    g_inb = (local >= 0) & \
+        (pos + L - 1 < didx.chrom_ends[jnp.clip(
+            ci, 0, didx.chrom_ends.shape[0] - 1)])
+    simple = table.ug_equal & jnp.where(is_tx, ok_p, g_inb)
+    noncontig = is_tx & table.ug_equal & ok_p & ~contig
+    return proj_pos, proj_strand, is_tx, simple, q0, noncontig
+
+
 def align_batch_combined_packed(didx: DeviceIndex, sprof: ScoreParams,
+                                txt: TxDeviceTables,
                                 packed_codes: jnp.ndarray,
                                 nmask: jnp.ndarray,
                                 lengths_u16: jnp.ndarray,
                                 ms_table: jnp.ndarray, cfg: AlignConfig,
-                                tx_boundary: int, cap_entries: int):
-    """Wire-packed combined-mode align step: 2-bit codes up; PackedResult
-    (device finalize, verbatim for rows with no tx candidate) plus the
-    entry-compacted PackedCandidates down. tx_boundary is the packed
-    position where transcript pseudo-chromosomes start (static per engine:
-    transcripts pack after all genome chromosomes)."""
+                                n_genome: int, tx_boundary: int,
+                                page_shift: int, cap_entries: int,
+                                cap_junctions: int):
+    """Wire-packed combined-mode align step.
+
+    The device projects every single-exon ungapped transcript candidate to
+    genome coordinates and re-runs the finalize selection on the PROJECTED
+    (strand, pos) — so the typical exonic read (transcript hit + its
+    genomic twin) is deduped, ranked, and MAPQ'd entirely on device,
+    bit-identically to the host slow path (parity-tested). Only rows with a
+    junction-spanning, gapped, or out-of-bounds candidate ship their entry
+    list to the host (PackedCandidates over needs_host rows — typically a
+    few percent of reads instead of every exonic read).
+
+    tx_boundary is the packed position where transcript pseudo-chromosomes
+    start; n_genome the genome chromosome count (both static per engine)."""
     codes = unpack_codes(packed_codes, nmask, cfg.max_read_len)
     lengths = lengths_u16.astype(jnp.int32)
     min_scores = ms_table[jnp.clip(lengths, 0, ms_table.shape[0] - 1)]
-    res, table = align_batch_with_candidates(didx, sprof, codes, lengths,
-                                             min_scores, cfg)
+
+    oriented = orient_reads(codes, lengths)
+    diags = seed_diagonals(oriented, lengths, didx, cfg)
+    cand_diag, cand_valid = resolve_select_fn(cfg)(diags, cfg)
+    ext = resolve_extend_fn(cfg)
+    dp_score, dp_j, ug_score, ug_j = ext(oriented, lengths, cand_diag,
+                                         didx, sprof, cfg)
+    table = candidate_table(oriented, lengths, min_scores, cand_diag,
+                            cand_valid, dp_score, dp_j, ug_score, ug_j, cfg,
+                            didx.ref_seq.shape[0])
+    B, n = table.valid.shape
+    proj_pos, proj_strand, is_tx, simple, q0, noncontig = \
+        project_candidates_device(table, lengths, didx, txt, n_genome,
+                                  tx_boundary, page_shift)
+    n_cands = jnp.sum(cand_valid.reshape(B, n), axis=1).astype(jnp.int32)
+    # junction winners' NM/T->C windows read the ORIGINAL combined-space
+    # (transcript) frame — their genome window is discontiguous
+    nm_pos = jnp.where(noncontig, table.pos, proj_pos)
+    nm_strand = jnp.where(noncontig, table.strand, proj_strand)
+    res, best_idx = finalize_core(
+        oriented, lengths, table.valid, proj_strand, proj_pos, table.score,
+        table.ug_equal, table.diag, n_cands, didx, sprof, cfg,
+        src=is_tx.astype(jnp.int32), nm_pos=nm_pos, nm_strand=nm_strand)
     out = pack_result(res, cfg.band_width)
 
-    B, n = table.valid.shape
-    any_tx = (table.valid & (table.pos >= tx_boundary)).any(axis=1)
-    mask = (table.valid & any_tx[:, None]).reshape(-1)
+    any_tx = (table.valid & is_tx).any(axis=1)
+    row_simple = ~jnp.any(table.valid & ~simple, axis=1)
+    needs_host = any_tx & ~row_simple
+    mask = (table.valid & needs_host[:, None]).reshape(-1)
     idx = jnp.arange(B * n, dtype=jnp.int32)
     # stable compaction: selected entries keep flat (row, candidate) order —
     # the host dedupe/rank tie-break order — unselected sort past them
@@ -607,7 +768,23 @@ def align_batch_combined_packed(didx: DeviceIndex, sprof: ScoreParams,
         n_sel=jnp.sum(mask).astype(jnp.int32),
         row=(sel // n).astype(jnp.int32),
         pos=e_pos, score=e_score, flags=flags)
-    return out, pc
+
+    # junction winners of device-finalized rows: ship (row, q0) so the host
+    # can assemble the N CIGAR from its spliced->genomic table — everything
+    # else about the record is already final in `res`
+    win_nc = (jnp.take_along_axis(noncontig, best_idx[:, None],
+                                  axis=1)[:, 0]
+              & res.mapped & ~needs_host)
+    win_q0 = jnp.take_along_axis(q0, best_idx[:, None], axis=1)[:, 0]
+    jkey = jnp.where(win_nc, jnp.arange(B, dtype=jnp.int32),
+                     jnp.arange(B, dtype=jnp.int32) + B)
+    jorder = jnp.sort(jkey)[:cap_junctions]
+    jsel = jnp.where(jorder < B, jorder, 0)
+    pj = PackedJunctions(
+        n_jun=jnp.sum(win_nc).astype(jnp.int32),
+        row=jsel.astype(jnp.int32),
+        q0=win_q0[jsel])
+    return out, pc, pj
 
 
 class CandidateTable(NamedTuple):

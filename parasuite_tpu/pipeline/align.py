@@ -203,6 +203,11 @@ class LazyCigars:
     def __len__(self):
         return len(self._lengths)
 
+    def overrides_in(self, b: int, e: int):
+        """(index, cigar) pairs with a non-default CIGAR in [b, e) — what
+        the native formatters need, without touching default rows."""
+        return [(i, c) for i, c in self._over.items() if b <= i < e]
+
 
 @dataclass
 class HostAlignments:
@@ -515,10 +520,24 @@ class AlignerEngine:
     def emit_sam(self, batch: ReadBatch, host: HostAlignments, writer) -> None:
         """Emit records in read order.
 
-        Ungapped/unmapped runs go through the native C++ batch formatter
-        when available (bytes identical to format_record — tests
-        test_native.py); the rare gapped records use the Python path.
-        """
+        All record shapes — ungapped, unmapped, gapped and junction CIGARs —
+        go through the native C++ batch formatter in ONE call per batch
+        (bytes identical to format_record — tests/test_native.py); only
+        XA-tagged records use the Python path (run-fragmented native calls
+        were measured at ~0.1 ms each, the emit bottleneck on exon-dense
+        references)."""
+        self._emit(batch, host, writer, bam=False)
+
+    def emit_bam(self, batch: ReadBatch, host: HostAlignments, writer) -> None:
+        """emit_sam's binary twin: one C++ BAM-record-formatter call per
+        batch (bytes identical to encode_bam_record over the SAM text —
+        tests/test_native.py); XA records emit SAM text via writer.write
+        and the BAM sink encodes them. This is what lets `.bam` outputs
+        stream straight through the writer thread with no .tmp.sam double
+        pass (VERDICT r3 weak #3)."""
+        self._emit(batch, host, writer, bam=True)
+
+    def _emit(self, batch, host, writer, bam: bool) -> None:
         from parasuite_tpu import native
 
         n = batch.n_real
@@ -528,10 +547,12 @@ class AlignerEngine:
             for b in range(n):
                 writer.write(self._format_one(batch, host, b))
             return
-
-        elig = host.ug_equal[:n] | ~host.mapped[:n]
-        if host.xa is not None:
-            elig = elig & np.asarray([host.xa[b] is None for b in range(n)])
+        fmt = native.bam_format_batch if bam else None
+        if host.xa is None:
+            writer.write_block(self._format_native_run(batch, host, 0, n,
+                                                       fmt=fmt))
+            return
+        elig = np.asarray([host.xa[b] is None for b in range(n)])
         # vectorized run segmentation (a per-element Python scan here costs
         # ~3 ms per 32k batch — measurable against the ~1 us/record C++
         # formatter)
@@ -540,39 +561,41 @@ class AlignerEngine:
         for b, e in zip(edges[:-1], edges[1:]):
             b, e = int(b), int(e)
             if elig[b]:
-                writer.write_block(self._format_native_run(batch, host, b, e))
+                writer.write_block(self._format_native_run(batch, host, b, e,
+                                                           fmt=fmt))
             else:
                 for i in range(b, e):
                     writer.write(self._format_one(batch, host, i))
 
-    def emit_bam(self, batch: ReadBatch, host: HostAlignments, writer) -> None:
-        """emit_sam's binary twin: ungapped/unmapped runs go through the C++
-        BAM record formatter (bytes identical to encode_bam_record over the
-        SAM text — tests/test_native.py), rare gapped/junction/XA records
-        emit SAM text via writer.write and the BAM sink encodes them. This
-        is what lets `.bam` outputs stream straight through the writer
-        thread with no .tmp.sam double pass (VERDICT r3 weak #3)."""
-        from parasuite_tpu import native
+    _OP_CODE = {"M": 0, "I": 1, "D": 2, "N": 3}
 
-        n = batch.n_real
-        use_native = native.available() and hasattr(writer, "write_block")
-        if not use_native:
-            for b in range(n):
-                writer.write(self._format_one(batch, host, b))
-            return
-        elig = host.ug_equal[:n] | ~host.mapped[:n]
-        if host.xa is not None:
-            elig = elig & np.asarray([host.xa[b] is None for b in range(n)])
-        bounds = np.flatnonzero(elig[1:] != elig[:-1]) + 1
-        edges = np.concatenate(([0], bounds, [n]))
-        for b, e in zip(edges[:-1], edges[1:]):
-            b, e = int(b), int(e)
-            if elig[b]:
-                writer.write_block(self._format_native_run(
-                    batch, host, b, e, fmt=native.bam_format_batch))
-            else:
-                for i in range(b, e):
-                    writer.write(self._format_one(batch, host, i))
+    def _cigar_arrays(self, host, b, e):
+        """Flat (cig_off, ops, lens) arrays for records [b, e) with
+        non-default CIGARs (None when every record is default)."""
+        cig = host.cigars
+        if isinstance(cig, LazyCigars):
+            items = cig.overrides_in(b, e)
+        else:
+            items = [(i, cig[i]) for i in range(b, e)
+                     if cig[i] and not (len(cig[i]) == 1
+                                        and cig[i][0][0] == "M")]
+        if not items:
+            return None
+        counts = np.zeros(e - b, dtype=np.int64)
+        for i, c in items:
+            counts[i - b] = len(c)
+        off = np.zeros(e - b + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        total = int(off[-1])
+        ops = np.zeros(total, dtype=np.uint8)
+        lens = np.zeros(total, dtype=np.int32)
+        code = self._OP_CODE
+        for i, c in items:
+            o = int(off[i - b])
+            for k, (op, ln) in enumerate(c):
+                ops[o + k] = code[op]
+                lens[o + k] = ln
+        return off, ops, lens
 
     def _format_one(self, batch, host, b) -> str:
         extra = None
@@ -609,4 +632,4 @@ class AlignerEngine:
             names, quals, self.sam_ref.names,
             flag, np.maximum(ci, 0), (local + 1).astype(np.int32),
             pos, host.mapq[sl], host.nm[sl], host.x0[sl], host.x1[sl],
-            host.score[sl])
+            host.score[sl], cigars=self._cigar_arrays(host, b, e))

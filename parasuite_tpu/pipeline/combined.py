@@ -20,6 +20,7 @@ Annotation input: TSV with columns
 
 from __future__ import annotations
 
+import functools
 import json
 from dataclasses import dataclass
 from pathlib import Path
@@ -43,11 +44,13 @@ class Transcript:
     exon_starts: np.ndarray     # int64 [n_exons], 0-based, ascending
     exon_ends: np.ndarray       # int64 [n_exons], exclusive
 
-    @property
+    # cached: project_to_genome runs per junction entry on the hot path —
+    # recomputing cumsum/concatenate per call measured ~30% of its cost
+    @functools.cached_property
     def spliced_len(self) -> int:
         return int((self.exon_ends - self.exon_starts).sum())
 
-    @property
+    @functools.cached_property
     def cumlens(self) -> np.ndarray:
         """Spliced-plus offsets of each exon start: [n_exons + 1]."""
         return np.concatenate([[0], np.cumsum(self.exon_ends - self.exon_starts)])
@@ -303,15 +306,31 @@ class CombinedEngine(AlignerEngine):
             # table host-side, so the compacted wire does not apply (same
             # trade as the plain engine's xa_tags)
             self.supports_packed = False
+        if self.supports_packed and \
+                int(self._tx_len.sum()) + len(self._txs) >= 2**31:
+            # the device projection's flat offset arrays are int32; a >2 Gbp
+            # spliced transcriptome must use the unpacked path
+            self.supports_packed = False
         if self.supports_packed:
             from parasuite_tpu.ops.aligner import (
                 align_batch_combined_packed, min_score_table)
 
             self._ms_table = jax.device_put(min_score_table(cfg))
+            # largest page size with at most one chromosome boundary per
+            # page = the minimum inter-chromosome start gap, floored to a
+            # power of two (capped at 256: lut stays G/256 entries)
+            starts = combined.ref.starts.astype(np.int64)
+            min_gap = (int(np.diff(starts).min()) if starts.shape[0] > 1
+                       else 1 << 8)
+            page_shift = max(0, min(8, int(min_gap).bit_length() - 1))
+            self._txt = jax.device_put(
+                self._build_tx_device_tables(page_shift))
             self._align_packed_comb = jax.jit(
                 functools.partial(align_batch_combined_packed, cfg=cfg,
-                                  tx_boundary=self._tx_boundary),
-                static_argnames=("cap_entries",))
+                                  n_genome=self._n_genome,
+                                  tx_boundary=self._tx_boundary,
+                                  page_shift=page_shift),
+                static_argnames=("cap_entries", "cap_junctions"))
 
     def _build_tx_tables(self) -> None:
         """Flat per-transcript arrays for the vectorized projection.
@@ -343,6 +362,61 @@ class CombinedEngine(AlignerEngine):
             if nt else np.zeros(0, dtype=np.int64))
         self._flat_estart = (np.concatenate([t.exon_starts for t in txs])
                              if nt else np.zeros(0, dtype=np.int64))
+        # spliced-plus -> chrom-local genomic position, per base (shared
+        # with the device projection tables): turns per-entry junction
+        # projection into one window gather + a diff — project_to_genome's
+        # exon walk measured 35 us/entry on the hot path
+        self._h_spoff = np.zeros(nt, dtype=np.int64)
+        if nt:
+            np.cumsum(self._tx_len[:-1], out=self._h_spoff[1:])
+            self._h_gpos = np.concatenate(
+                [np.concatenate([np.arange(int(s), int(e), dtype=np.int64)
+                                 for s, e in zip(t.exon_starts, t.exon_ends)])
+                 for t in txs])
+        else:
+            self._h_gpos = np.zeros(1, dtype=np.int64)
+
+    def _build_tx_device_tables(self, page_shift: int):
+        """Host exon tables -> TxDeviceTables (ops/aligner): the direct
+        spliced->genomic position table plus the chromosome page lut that
+        make the in-step projection pure O(1) gathers."""
+        from parasuite_tpu.ops.aligner import TxDeviceTables
+
+        cref = self.combined.ref
+        starts = cref.starts.astype(np.int64)
+        G = int(cref.total_len)
+        n_pages = (G >> page_shift) + 1
+        page_pos = np.arange(n_pages, dtype=np.int64) << page_shift
+        page_lut = np.maximum(
+            np.searchsorted(starts, page_pos, side="right") - 1, 0)
+        starts_ext = np.concatenate(
+            [starts, [np.iinfo(np.int32).max]]).astype(np.int32)
+
+        txs = self._txs
+        T = len(txs)
+        if T == 0:
+            z32 = np.zeros(1, dtype=np.int32)
+            return TxDeviceTables(
+                minus=np.zeros(1, dtype=bool), tlen=z32, gchrom_start=z32,
+                sp_off=z32, gpos_tab=z32,
+                page_lut=page_lut.astype(np.int32), starts_ext=starts_ext)
+        tlen = self._tx_len.astype(np.int64)
+        sp_off = np.zeros(T, dtype=np.int64)
+        np.cumsum(tlen[:-1], out=sp_off[1:])
+        # spliced-plus frame -> chrom-local genomic position, per base
+        gpos_tab = np.concatenate(
+            [np.concatenate([np.arange(int(s), int(e), dtype=np.int32)
+                             for s, e in zip(t.exon_starts, t.exon_ends)])
+             for t in txs])
+        gstarts = self.genome_ref.starts[self._tx_gci].astype(np.int64)
+        return TxDeviceTables(
+            minus=self._tx_minus.copy(),
+            tlen=tlen.astype(np.int32),
+            gchrom_start=gstarts.astype(np.int32),
+            sp_off=sp_off.astype(np.int32),
+            gpos_tab=gpos_tab,
+            page_lut=page_lut.astype(np.int32),
+            starts_ext=starts_ext)
 
     def align_device(self, codes, lengths):
         """Device step -> (AlignResult in combined space, CandidateTable)."""
@@ -369,10 +443,13 @@ class CombinedEngine(AlignerEngine):
             raise ValueError("combined mode counts profiles host-side "
                              "(counts_from_host); with_counts unsupported")
         two, nmask = pack_codes_host(codes)
-        cap = max(1, int(round(self.cfg.combined_wire_cap * codes.shape[0])))
-        out = self._align_packed_comb(self.didx, self.sprof, two, nmask,
-                                      lengths.astype(np.uint16),
-                                      self._ms_table, cap_entries=cap)
+        B = codes.shape[0]
+        cap = max(1, int(round(self.cfg.combined_wire_cap * B)))
+        cap_j = max(1, int(round(self.cfg.combined_wire_jun_cap * B)))
+        out = self._align_packed_comb(self.didx, self.sprof, self._txt,
+                                      two, nmask, lengths.astype(np.uint16),
+                                      self._ms_table, cap_entries=cap,
+                                      cap_junctions=cap_j)
         jax.tree.map(lambda x: x.copy_to_host_async(), out)
         return out
 
@@ -416,10 +493,13 @@ class CombinedEngine(AlignerEngine):
                                    "False with xa_tags)")
             res = unpack_result_host(devout[0], cfg.band_width)
             pc = devout[1]
+            pj = devout[2]
             n_sel = int(pc.n_sel)
-            if n_sel > pc.row.shape[0]:
-                # entry-cap overflow (tx-dense batch beyond
-                # cfg.combined_wire_cap): redo through the unpacked step
+            n_jun = int(pj.n_jun)
+            if n_sel > pc.row.shape[0] or n_jun > pj.row.shape[0]:
+                # wire-cap overflow (tx- or junction-dense batch beyond
+                # cfg.combined_wire_cap / combined_wire_jun_cap): redo
+                # through the unpacked step
                 return self.to_host(
                     batch, self.align_device(batch.codes, batch.lengths))
             g_rows = np.asarray(pc.row)[:n_sel].astype(np.int64)
@@ -433,6 +513,8 @@ class CombinedEngine(AlignerEngine):
             any_tx = np.zeros(B, dtype=bool)
             any_tx[g_rows] = True
         else:
+            pj = None
+            n_jun = 0
             res, table = devout
             valid = np.asarray(table.valid)
             pos = np.asarray(table.pos)
@@ -498,6 +580,33 @@ class CombinedEngine(AlignerEngine):
                 out_tc[b] = tc_count_from_cigar(cref.seq, p,
                                                 om[k, : int(lens[b])],
                                                 int(out_strand[b]), cigar)
+
+        # junction winners the device finalized (packed path): the record is
+        # final except its N CIGAR — assemble it from the spliced->genomic
+        # table (one window gather + a diff per winner)
+        if n_jun:
+            rows_j = np.asarray(pj.row)[:n_jun].astype(np.int64)
+            q0_j = np.asarray(pj.q0)[:n_jun].astype(np.int64)
+            lens_j = lens[rows_j]
+            Lj = int(lens_j.max())
+            w_idx = np.minimum(q0_j[:, None] + np.arange(Lj)[None, :],
+                               self._h_gpos.shape[0] - 1)
+            gw = self._h_gpos[w_idx]
+            for w_i in range(n_jun):
+                b = int(rows_j[w_i])
+                lnk = int(lens_j[w_i])
+                win = gw[w_i, :lnk]
+                brk = np.nonzero(np.diff(win) != 1)[0]
+                cigar: list = []
+                prev = 0
+                for bki in brk:
+                    bki = int(bki)
+                    cigar.append(("M", bki + 1 - prev))
+                    cigar.append(("N", int(win[bki + 1] - win[bki]) - 1))
+                    prev = bki + 1
+                cigar.append(("M", lnk - prev))
+                out_cigars[b] = cigar
+                out_ug[b] = False
 
         xa = None
         if self.xa_tags:
@@ -623,21 +732,37 @@ class CombinedEngine(AlignerEngine):
             f_strand[sel] = e_st[t_ug][single] ^ minus[single]
             f_gci[sel] = gci_t[single]
             f_gpk[sel] = starts[gci_t[single]] + gpos[single]
-            # junction-spanning: per-entry exon walk for the N-gap CIGAR
-            for kk in np.nonzero(ok_p & ~single)[0]:
-                k = int(t_ug[kk])
-                tx = self._txs[int(txi[kk])]
-                try:
-                    chrom, gp, gcigar, gst = project_to_genome(
-                        tx, int(txp[kk]), [("M", int(ln[kk]))],
-                        int(e_st[k]))
-                except ValueError:
-                    continue
-                f_ok[k] = True
-                f_strand[k] = gst
-                f_gci[k] = int(gci_t[kk])
-                f_gpk[k] = int(starts[int(gci_t[kk])]) + gp
-                cigar_over[k] = gcigar
+            # junction-spanning ungapped entries: ONE window gather from the
+            # spliced->genomic position table + a diff gives every entry's
+            # M/N structure (replaces project_to_genome's per-entry exon
+            # walk; semantics identical — zero-length introns merge into one
+            # M run exactly like project_to_genome's emit() merging)
+            jun = np.nonzero(ok_p & ~single)[0]
+            if jun.shape[0]:
+                lnj = ln[jun]
+                q0 = self._h_spoff[txi[jun]] + s0[jun]
+                Lj = int(lnj.max())
+                w_idx = np.minimum(q0[:, None] + np.arange(Lj)[None, :],
+                                   self._h_gpos.shape[0] - 1)
+                gw = self._h_gpos[w_idx]
+                for w_i, kk in enumerate(jun):
+                    k = int(t_ug[kk])
+                    lnk = int(lnj[w_i])
+                    win = gw[w_i, :lnk]
+                    brk = np.nonzero(np.diff(win) != 1)[0]
+                    gcigar: list = []
+                    prev = 0
+                    for bki in brk:
+                        bki = int(bki)
+                        gcigar.append(("M", bki + 1 - prev))
+                        gcigar.append(("N", int(win[bki + 1] - win[bki]) - 1))
+                        prev = bki + 1
+                    gcigar.append(("M", lnk - prev))
+                    f_ok[k] = True
+                    f_strand[k] = e_st[k] ^ minus[kk]
+                    f_gci[k] = int(gci_t[kk])
+                    f_gpk[k] = int(starts[int(gci_t[kk])]) + int(win[0])
+                    cigar_over[k] = gcigar
 
         # --- gapped entries (<<1%): batched host DP, per-entry projection ---
         gap_idx = np.nonzero((~e_ug) & (ci >= 0))[0]

@@ -455,9 +455,10 @@ def test_packed_wire_parity(comb_engine, genome, tx_plus, tx_minus):
     host_u = comb_engine.to_host(
         batch, comb_engine.align_device(codes, lengths))
     out = comb_engine.align_device_packed(codes, lengths)
-    pc = jax.device_get(out[1])
-    assert int(pc.n_sel) > 10, "soup must exercise tx entries"
+    pc, pj = jax.device_get((out[1], out[2]))
+    assert int(pj.n_jun) > 5, "soup must exercise device junction winners"
     assert int(pc.n_sel) <= pc.row.shape[0], "no overflow expected here"
+    assert int(pj.n_jun) <= pj.row.shape[0]
     host_p = comb_engine.to_host(batch, out)
     _hosts_equal(host_u, host_p, len(codes))
 
@@ -468,7 +469,8 @@ def test_packed_wire_overflow_fallback(genome, tx_plus, tx_minus, small_cfg):
     throughput knob, never a correctness knob)."""
     import jax
 
-    cfg = small_cfg.replace(combined_wire_cap=0.05)
+    cfg = small_cfg.replace(combined_wire_cap=0.02,
+                            combined_wire_jun_cap=0.02)
     comb = CombinedReference.build(genome, [tx_plus, tx_minus],
                                    spacer=cfg.chrom_spacer)
     idx = KmerIndex.build(comb.ref.seq, cfg.kmer_size)
@@ -476,8 +478,10 @@ def test_packed_wire_overflow_fallback(genome, tx_plus, tx_minus, small_cfg):
     codes, lengths = _random_soup(genome, tx_plus, tx_minus, seed=7)
     batch = _mk_batch(codes, lengths)
     out = engine.align_device_packed(codes, lengths)
-    pc = jax.device_get(out[1])
-    assert int(pc.n_sel) > pc.row.shape[0], "cap must overflow in this test"
+    pc, pj = jax.device_get((out[1], out[2]))
+    assert (int(pc.n_sel) > pc.row.shape[0]
+            or int(pj.n_jun) > pj.row.shape[0]), \
+        "a wire cap must overflow in this test"
     host_p = engine.to_host(batch, out)
     host_u = engine.to_host(batch, engine.align_device(codes, lengths))
     _hosts_equal(host_u, host_p, len(codes))

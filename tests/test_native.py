@@ -283,3 +283,57 @@ def test_bam_cluster_scan_parity(tmp_path, tiny_ref, tiny_index, small_cfg):
     np.testing.assert_array_equal(span_s, span_b)
     np.testing.assert_array_equal(tc_s, tc_b)
     assert sk_s == sk_b
+
+
+def test_formatter_full_cigar_parity(tiny_ref, tiny_index, small_cfg):
+    """Gapped (I/D) records must format natively in the same single call as
+    everyone else, byte-identical to the Python formatter (SAM) and to
+    encode_bam_record over that text (BAM) — the full-CIGAR C++ path."""
+    from conftest import sample_reads
+
+    from parasuite_tpu import native
+    from parasuite_tpu.io.bam import encode_bam_record
+    from parasuite_tpu.io.batch import ReadBatch
+    from parasuite_tpu.pipeline import AlignerEngine
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(703)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 64, 50, mutate=1,
+                                     indel=True)
+    batch = ReadBatch(codes=codes, lengths=lengths,
+                      names=[f"g{i}" for i in range(64)],
+                      quals=[bytes(rng.integers(35, 74, 50).astype(np.uint8))
+                             for _ in range(64)])
+    engine = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    host = engine.align_to_host(batch)
+    n_gapped = sum(1 for i in range(64)
+                   if host.mapped[i] and not host.ug_equal[i])
+    assert n_gapped >= 5, "need gapped records in this test"
+
+    class Collect:
+        def __init__(self, with_block):
+            self.parts = []
+            if with_block:
+                self.write_block = lambda t: self.parts.append(
+                    t if isinstance(t, bytes) else t.encode())
+
+        def write(self, line):
+            self.parts.append((line + "\n").encode())
+
+        def result(self):
+            return b"".join(self.parts)
+
+    py_w, nat_w = Collect(False), Collect(True)
+    engine.emit_sam(batch, host, py_w)
+    engine.emit_sam(batch, host, nat_w)
+    assert nat_w.result() == py_w.result()
+    assert len(nat_w.parts) == 1  # ONE native call for the whole batch
+
+    bam_w = Collect(True)
+    engine.emit_bam(batch, host, bam_w)
+    rid_of = {nm: i for i, nm in enumerate(tiny_ref.names)}
+    expect = b"".join(
+        encode_bam_record(l.split("\t"), rid_of)
+        for l in py_w.result().decode().rstrip("\n").split("\n"))
+    assert bam_w.result() == expect
