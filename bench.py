@@ -59,7 +59,7 @@ def build_state(cfg, ref_len, seed=1):
 
 
 def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False,
-                   state=None):
+                   state=None, read_len=READ_LEN):
     import functools
 
     import jax
@@ -70,7 +70,7 @@ def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False,
     from parasuite_tpu.sim import simulate_reads
 
     ref, _index, didx, sprof = state if state else build_state(cfg, ref_len)
-    codes, lengths, truth = simulate_reads(ref, n_reads, READ_LEN, cfg,
+    codes, lengths, truth = simulate_reads(ref, n_reads, read_len, cfg,
                                            seed=2, tc_rate=0.12)
     lengths16 = lengths.astype(np.uint16)
     ms_table = jax.device_put(min_score_table(cfg))

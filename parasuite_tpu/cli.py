@@ -113,9 +113,9 @@ def cmd_align(args) -> int:
     engine = _load_engine(args, cfg)
     log = RunLog(args.log) if args.log else RunLog()
     t0 = time.perf_counter()
+    cl = args.pg_cl if args.pg_cl is not None else " ".join(sys.argv[1:])
     n, _, _ = streaming_align(engine, args.fastq, args.out,
-                              resume=args.resume, log=log,
-                              command_line=" ".join(sys.argv[1:]))
+                              resume=args.resume, log=log, command_line=cl)
     Path(str(args.out) + ".config.json").write_text(cfg.to_json())
     dt = time.perf_counter() - t0
     print(json.dumps({"tool": "align", "reads": n,
@@ -133,7 +133,7 @@ def cmd_twopass(args) -> int:
     engine = _load_engine(args, cfg)
     log = RunLog(args.log) if args.log else RunLog()
     profile_out = args.profile_out or (str(args.out) + ".errorprofile")
-    cl = " ".join(sys.argv[1:])
+    cl = args.pg_cl if args.pg_cl is not None else " ".join(sys.argv[1:])
 
     # pass 1: flat scoring, first-pass SAM + on-device profile counts
     pass1_sam = str(args.out) + ".pass1.sam"
@@ -451,6 +451,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from <out>.progress.json checkpoint")
     p.add_argument("--log", help="append per-batch JSONL stats here")
+    p.add_argument("--pg-cl", dest="pg_cl", default=None,
+                   help="override the @PG CL: header value (pin it so "
+                        "resumed/merged outputs stay byte-identical)")
     _add_cfg_flags(p)
     p.set_defaults(fn=cmd_align)
 
@@ -465,6 +468,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "indel rates (ErrorProfile.gap_penalties)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log", help="append per-batch JSONL stats here")
+    p.add_argument("--pg-cl", dest="pg_cl", default=None,
+                   help="override the @PG CL: header value (pin it so "
+                        "resumed/merged outputs stay byte-identical)")
     _add_cfg_flags(p)
     p.set_defaults(fn=cmd_twopass)
 

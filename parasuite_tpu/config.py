@@ -45,6 +45,20 @@ class AlignConfig:
                                      # dirty every one of 7 windows to hide
                                      # a locus. 4/12 (max_seeds=4,
                                      # seed_stride=0) remains the speed point
+    seed_placement: str = "adaptive" # "adaptive": per-read stride
+                                     # max(1, (len-k)//(max_seeds-1)) —
+                                     # spreads the max_seeds windows evenly
+                                     # over EACH read's true length, so 36bp
+                                     # reads still place all seeds and 100bp
+                                     # reads cover their full span (the spec
+                                     # range is 36-100bp, BASELINE.md). At
+                                     # the adopted defaults and L=50 this
+                                     # reduces to stride 6 — bit-identical
+                                     # to round 3's operating point (and to
+                                     # 12 for the 4-seed speed point).
+                                     # "fixed": offsets s*seed_stride
+                                     # regardless of read length (round-3
+                                     # behavior)
     max_occ: int = 64                # skip seeds whose k-mer occurs more often
     max_candidates: int = 16         # C: candidate diagonals kept per read/strand
 
@@ -102,7 +116,10 @@ class AlignConfig:
             raise ValueError("chrom_spacer must exceed max_read_len + 2*band_width")
         if self.seed_stride < 0:
             raise ValueError("seed_stride must be >= 0 (0 = kmer_size)")
-        if (self.max_seeds - 1) * self.stride + self.kmer_size > self.max_read_len:
+        if self.seed_placement not in ("adaptive", "fixed"):
+            raise ValueError("seed_placement must be 'adaptive' or 'fixed'")
+        if self.seed_placement == "fixed" and \
+                (self.max_seeds - 1) * self.stride + self.kmer_size > self.max_read_len:
             raise ValueError("seed offsets must fit in max_read_len")
         if self.kmer_size > 15:
             raise ValueError("kmer_size > 15 overflows int32 k-mer codes")
@@ -121,6 +138,13 @@ class AlignConfig:
     def stride(self) -> int:
         """Effective seed offset step (seed_stride, or k when 0)."""
         return self.seed_stride if self.seed_stride > 0 else self.kmer_size
+
+    def seed_stride_for(self, read_len: int) -> int:
+        """Effective seed stride for a read of this length (the adaptive
+        per-read spread, or the fixed stride)."""
+        if self.seed_placement == "adaptive" and self.max_seeds > 1:
+            return max(1, (read_len - self.kmer_size) // (self.max_seeds - 1))
+        return self.stride
 
     @property
     def band(self) -> int:

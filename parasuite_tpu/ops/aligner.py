@@ -133,9 +133,11 @@ def orient_reads(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 def seed_diagonals(oriented: jnp.ndarray, lengths: jnp.ndarray,
                    didx: DeviceIndex, cfg: AlignConfig) -> jnp.ndarray:
     """[B, 2, L] -> candidate diagonals [B*2, max_seeds*max_occ] (I32MAX =
-    invalid). Seeds at offsets s*cfg.stride; k-mers containing N,
-    absent from the index, or with more than max_occ occurrences are skipped
-    (repeat policy, oracle.seed_candidates)."""
+    invalid). Seeds at offsets s * seed_stride_for(len) — per-READ adaptive
+    spread by default, so 36bp and 100bp reads place their max_seeds
+    windows across the whole read (oracle.seed_candidates semantics);
+    k-mers containing N, absent from the index, or with more than max_occ
+    occurrences are skipped (repeat policy)."""
     B = oriented.shape[0]
     L = oriented.shape[2]
     k, S, M = cfg.kmer_size, cfg.max_seeds, cfg.max_occ
@@ -143,6 +145,21 @@ def seed_diagonals(oriented: jnp.ndarray, lengths: jnp.ndarray,
     len2 = jnp.repeat(lengths, 2)
     pow4 = jnp.asarray((4 ** np.arange(k - 1, -1, -1)).astype(np.int32))
     j = jnp.arange(M)
+
+    adaptive = cfg.seed_placement == "adaptive" and S > 1
+    if adaptive:
+        stride2 = jnp.maximum(1, (len2 - k) // (S - 1))
+        # k-mer code + N flag at EVERY offset once (k shifted multiply-adds
+        # on [B2, L] — pure VPU), then one 1-element row gather per seed;
+        # per-read offsets defeat the static-slice window of the fixed path
+        r32 = jnp.pad(reads2.astype(jnp.int32), ((0, 0), (0, k)),
+                      constant_values=4)
+        code_all = jnp.zeros((B * 2, L), dtype=jnp.int32)
+        nflag_all = jnp.zeros((B * 2, L), dtype=bool)
+        for i in range(k):
+            c = r32[:, i : i + L]
+            nflag_all = nflag_all | (c == 4)
+            code_all = code_all + jnp.where(c == 4, 0, c) * (4 ** (k - 1 - i))
 
     # positions fetched as aligned 16-element ROW gathers (one row covers
     # [lo & ~15, +16); ceil((15 + M) / 16) more rows cover any M-run) —
@@ -157,11 +174,18 @@ def seed_diagonals(oriented: jnp.ndarray, lengths: jnp.ndarray,
 
     chunks = []
     for s in range(S):
-        off = s * cfg.stride
-        win = reads2[:, off : off + k]
-        has_n = jnp.any(win == 4, axis=1)
+        if adaptive:
+            off = jnp.minimum(s * stride2, L - 1)
+            oc = off[:, None]
+            code = jnp.take_along_axis(code_all, oc, axis=1)[:, 0]
+            has_n = jnp.take_along_axis(nflag_all, oc, axis=1)[:, 0]
+        else:
+            off = s * cfg.stride
+            win = reads2[:, off : off + k]
+            has_n = jnp.any(win == 4, axis=1)
+            code = jnp.sum(jnp.where(win == 4, 0, win) * pow4[None, :],
+                           axis=1)
         fits = (off + k) <= len2
-        code = jnp.sum(jnp.where(win == 4, 0, win) * pow4[None, :], axis=1)
         code = jnp.where(has_n, 0, code)
         lo = didx.bucket_starts[code]
         cnt = didx.bucket_starts[code + 1] - lo
@@ -181,7 +205,8 @@ def seed_diagonals(oriented: jnp.ndarray, lengths: jnp.ndarray,
         for r in range(rw):
             pos = jnp.where(qr == r, fp[:, r : r + M], pos)
         valid = ok[:, None] & (j[None, :] < cnt[:, None])
-        chunks.append(jnp.where(valid, pos - off, I32MAX))
+        off_b = off[:, None] if adaptive else off
+        chunks.append(jnp.where(valid, pos - off_b, I32MAX))
     return jnp.concatenate(chunks, axis=1)
 
 

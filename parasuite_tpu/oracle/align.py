@@ -53,8 +53,9 @@ def seed_candidates(read_codes: np.ndarray, read_len: int, index: KmerIndex,
     """
     k = index.k
     diags: list[int] = []
+    stride = cfg.seed_stride_for(read_len)
     for s in range(cfg.max_seeds):
-        off = s * cfg.stride
+        off = s * stride
         if off + k > read_len:
             break
         window = read_codes[off : off + k]

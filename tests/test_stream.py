@@ -221,3 +221,47 @@ def test_bam_streaming_resume_identical(engine, fastq, tmp_path):
     assert part.read_bytes() == full.read_bytes()
     # and the stream is valid BGZF end to end
     assert gzip.decompress(part.read_bytes())
+
+
+def test_mixed_length_streaming(tiny_ref, tiny_index, tmp_path):
+    """A FASTQ mixing 36-100bp reads must stream end to end (VERDICT r3
+    missing #6): every read emitted, lengths preserved in SEQ, and the
+    packed and unpacked wire paths must produce identical SAM bytes."""
+    from parasuite_tpu.config import AlignConfig
+    from parasuite_tpu.pipeline import AlignerEngine
+
+    cfg = AlignConfig(max_read_len=100, batch_size=32, kmer_size=8,
+                      max_seeds=5, max_occ=32, max_candidates=8,
+                      band_width=3, chrom_spacer=128)
+    rng = np.random.default_rng(607)
+    n = 96
+    codes = np.full((n, 100), 4, dtype=np.int8)
+    lengths = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        ln = int(rng.choice([36, 50, 75, 100]))
+        p = int(rng.integers(0, 4800 - ln))
+        frag = tiny_ref.seq[p : p + ln].copy()
+        while np.any(frag == 4):
+            p = int(rng.integers(0, 4800 - ln))
+            frag = tiny_ref.seq[p : p + ln].copy()
+        codes[i, :ln] = frag
+        lengths[i] = ln
+    fq = tmp_path / "mixed.fastq"
+    write_fastq(fq, [f"m{i}" for i in range(n)], codes, lengths)
+    eng = AlignerEngine(tiny_ref, tiny_index, cfg)
+    assert eng.supports_packed
+    out = tmp_path / "mixed.sam"
+    n_rec, _, _ = streaming_align(eng, fq, out)
+    assert n_rec == n
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == n
+    for i, f in enumerate(recs):
+        assert len(f[9]) == int(lengths[i])
+    assert sum(1 for f in recs if not (int(f[1]) & 4)) > n * 0.9
+
+    # unpacked path must agree byte-for-byte
+    eng.supports_packed = False
+    out2 = tmp_path / "mixed_unpacked.sam"
+    streaming_align(eng, fq, out2)
+    assert out2.read_bytes() == out.read_bytes()

@@ -1,0 +1,213 @@
+"""Config-5 scale run (BASELINE.json configs[4]; VERDICT r3 next-round #2):
+one recorded end-to-end production run at tens of millions of reads —
+simulate -> twopass (profile -> realign, direct .bam out) -> coordinate
+sort (external spill-merge) -> binding-site clusters — with a mid-run
+kill + --resume continuation verified byte-identical against an
+uninterrupted control, and per-stage wall clock + peak RSS recorded to
+SCALE_r04.json.
+
+Defaults to 50M reads (PARASUITE_SCALE_READS to override); everything runs
+through the real CLI in subprocesses, on the real chip.
+
+    timeout 7200 python tools/scale_run.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+import numpy as np
+
+N_READS = int(os.environ.get("PARASUITE_SCALE_READS", 50_000_000))
+READ_LEN = 50
+REF_LEN = int(os.environ.get("PARASUITE_SCALE_REF", 20_000_000))
+BATCH = int(os.environ.get("PARASUITE_BENCH_BATCH", 65536))
+SIM_CHUNK = 2_000_000
+WORK = Path(os.environ.get("PARASUITE_SCALE_DIR", REPO / ".scale_run"))
+KILL_AFTER = float(os.environ.get("PARASUITE_SCALE_KILL_AFTER", 30.0))
+
+CFG_FLAGS = ["--kmer-size", "12", "--max-read-len", str(READ_LEN),
+             "--batch-size", str(BATCH), "--max-candidates", "8",
+             "--max-occ", "16"]
+
+
+def run_stage(name, argv, stats, kill_after=None, expect_fail=False,
+              cwd=None):
+    """Run a CLI stage in a subprocess; record wall seconds + peak child
+    RSS. kill_after sends SIGKILL after that many seconds (crash drill)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    t0 = time.perf_counter()
+    rss0 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    p = subprocess.Popen([sys.executable, "-m", "parasuite_tpu.cli"] + argv,
+                         env=env, cwd=cwd or WORK, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+    killed = False
+    if kill_after is not None:
+        try:
+            p.wait(timeout=kill_after)
+        except subprocess.TimeoutExpired:
+            p.send_signal(signal.SIGKILL)
+            p.wait()
+            killed = True
+    out, err = p.communicate()
+    dt = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    if not killed and not expect_fail and p.returncode != 0:
+        sys.stderr.write(err[-4000:])
+        raise SystemExit(f"stage {name} failed rc={p.returncode}")
+    rec = {"seconds": round(dt, 1),
+           "peak_rss_mb": round(max(rss0, rss1) / 1024, 0)}
+    if killed:
+        rec["killed_after_s"] = kill_after
+    if out.strip():
+        try:
+            rec["result"] = json.loads(out.strip().splitlines()[-1])
+        except json.JSONDecodeError:
+            pass
+    stats[name] = rec
+    print(json.dumps({name: rec}), flush=True)
+    return killed
+
+
+def simulate_fastq(path, stats):
+    """Chunked simulation (10M+ reads in one simulate_reads call would hold
+    several full-size copies in RAM) with the decay-model quality strings."""
+    from parasuite_tpu.config import AlignConfig
+    from parasuite_tpu.index import PackedReference
+    from parasuite_tpu.sim import simulate_reads
+    from parasuite_tpu.sim.generate import simulate_quality
+
+    cfg = AlignConfig(max_read_len=READ_LEN, kmer_size=12, batch_size=BATCH,
+                      max_candidates=8, max_occ=16)
+    ref = PackedReference.load(WORK / "idx")
+    t0 = time.perf_counter()
+    with open(path, "wb") as out:
+        done = 0
+        chunk_i = 0
+        while done < N_READS:
+            n = min(SIM_CHUNK, N_READS - done)
+            codes, lengths, truth = simulate_reads(
+                ref, n, READ_LEN, cfg, seed=1000 + chunk_i, tc_rate=0.12)
+            names = [f"s{done + i}:{int(truth.chrom_idx[i])}:"
+                     f"{int(truth.local_pos[i])}:{int(truth.strand[i])}"
+                     for i in range(n)]
+            quals = simulate_quality(n, READ_LEN, seed=chunk_i)
+            # write_fastq opens a fresh file; inline the record loop so
+            # chunks append to one stream
+            from parasuite_tpu.utils.dna import decode_seq
+
+            parts = []
+            for i in range(n):
+                ln = int(lengths[i])
+                parts.append(b"@" + names[i].encode() + b"\n"
+                             + decode_seq(codes[i, :ln]).encode() + b"\n+\n"
+                             + quals[i, :ln].tobytes() + b"\n")
+            out.write(b"".join(parts))
+            done += n
+            chunk_i += 1
+            print(json.dumps({"simulate_progress": done}), flush=True)
+    dt = time.perf_counter() - t0
+    stats["simulate"] = {
+        "seconds": round(dt, 1), "reads": N_READS,
+        "peak_rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 0)}
+    print(json.dumps({"simulate": stats["simulate"]}), flush=True)
+
+
+def _files_equal(a: Path, b: Path, chunk: int = 64 << 20) -> bool:
+    if a.stat().st_size != b.stat().st_size:
+        return False
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        while True:
+            ca = fa.read(chunk)
+            cb = fb.read(chunk)
+            if ca != cb:
+                return False
+            if not ca:
+                return True
+
+
+def main() -> int:
+    WORK.mkdir(exist_ok=True)
+    stats: dict = {"n_reads": N_READS, "ref_len": REF_LEN, "batch": BATCH}
+
+    # reference + index (synthetic 20Mbp chromosome, deterministic)
+    fa = WORK / "ref.fa"
+    if not (WORK / "idx.ref.json").exists():
+        from parasuite_tpu.io.fasta import write_fasta
+
+        rng = np.random.default_rng(1)
+        write_fasta(fa, {"chr_scale": rng.integers(0, 4, REF_LEN)
+                         .astype(np.int8)})
+        run_stage("index", ["index", str(fa), str(WORK / "idx")] + CFG_FLAGS,
+                  stats)
+
+    fq = WORK / "reads.fastq"
+    if not fq.exists() or fq.stat().st_size < N_READS * 100:
+        simulate_fastq(fq, stats)
+
+    # --- control twopass (uninterrupted) ---
+    # identical RELATIVE argv per run (only --resume differs on the
+    # continuation, and a resumed run never rewrites the header) so the
+    # @PG CL: header line cannot differ between control and drill
+    cdir = WORK / "ctrl"
+    rdir = WORK / "run"
+    for d in (cdir, rdir):
+        d.mkdir(exist_ok=True)
+        for f in d.glob("out.bam*"):
+            f.unlink()
+    argv = (["twopass", "../idx", "../reads.fastq", "out.bam",
+             "--pg-cl", "scale_r04"] + CFG_FLAGS)
+    run_stage("twopass_control", argv, stats, cwd=cdir)
+    ctrl = cdir / "out.bam"
+
+    # --- crash drill: kill mid-run, then --resume; bytes must match ---
+    out = rdir / "out.bam"
+    killed = run_stage("twopass_killed", argv, stats, kill_after=KILL_AFTER,
+                       cwd=rdir)
+    if not killed:
+        raise SystemExit("kill drill did not trigger — raise "
+                         "PARASUITE_SCALE_KILL_AFTER resolution")
+    run_stage("twopass_resumed", argv + ["--resume"], stats, cwd=rdir)
+    same_bam = _files_equal(out, ctrl)
+    same_prof = ((Path(str(out) + ".errorprofile").read_bytes())
+                 == Path(str(ctrl) + ".errorprofile").read_bytes())
+    stats["resume_byte_identical"] = bool(same_bam and same_prof)
+    print(json.dumps({"resume_byte_identical": stats["resume_byte_identical"],
+                      "bam": same_bam, "profile": same_prof}), flush=True)
+
+    # --- sort (external merge) + cluster (BGZF scan, no temp SAM) ---
+    sortd = WORK / "sorted.bam"
+    run_stage("sort", ["sort", str(out), str(sortd), "--min-mapq", "1"],
+              stats)
+    run_stage("cluster", ["cluster", str(WORK / "idx"), str(sortd),
+                          str(WORK / "clusters.tsv")] + CFG_FLAGS
+              + ["--cluster-min-reads", "2"], stats)
+
+    stats["artifacts_bytes"] = {
+        "fastq": fq.stat().st_size, "bam": out.stat().st_size,
+        "sorted_bam": sortd.stat().st_size,
+        "clusters_tsv": (WORK / "clusters.tsv").stat().st_size}
+    e2e = (stats["twopass_control"]["seconds"] + stats["sort"]["seconds"]
+           + stats["cluster"]["seconds"])
+    stats["pipeline_seconds_ex_sim"] = round(e2e, 1)
+    stats["pipeline_reads_per_s"] = round(N_READS / e2e, 0)
+    (REPO / "SCALE_r04.json").write_text(json.dumps(stats, indent=2))
+    print(json.dumps(stats), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,50 @@
+"""Read-length sweep on the real chip: sensitivity/precision across the
+BASELINE spec range 36-100bp (VERDICT r3 missing #6 — every prior number
+was at L=50), for the default ADAPTIVE per-read seed placement and, where
+the geometry even validates, the round-3 FIXED stride-6 placement.
+
+    timeout 3000 python tools/sweep_lengths.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+import bench
+
+LENGTHS = [36, 50, 75, 100]
+
+
+def main() -> int:
+    base = bench.make_cfg()
+    n_reads = 4 * base.batch_size
+    for placement in ("adaptive", "fixed"):
+        for L in LENGTHS:
+            try:
+                cfg = dataclasses.replace(base, max_read_len=L,
+                                          seed_placement=placement)
+            except ValueError as e:
+                print(json.dumps({"placement": placement, "read_len": L,
+                                  "error": str(e)}), flush=True)
+                continue
+            state = bench.build_state(cfg, bench.REF_LEN)
+            rps, extras = bench.run_throughput(
+                cfg, n_reads, cfg.batch_size, bench.REF_LEN,
+                check_accuracy=True, state=state, read_len=L)
+            print(json.dumps({
+                "placement": placement, "read_len": L,
+                "stride_eff": cfg.seed_stride_for(L),
+                "reads_per_s": round(rps, 0), **extras}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
