@@ -41,21 +41,45 @@ _OP_CIG = "MIDNSHP=X"
 
 
 class BgzfWriter:
-    """File-like BGZF writer: write() any bytes, blocks are cut at 64 KiB."""
+    """File-like BGZF writer: write() any bytes, blocks are cut at 64 KiB.
+
+    Compression runs through the C++ BGZF deflater when the native library
+    is present (byte-identical framing, enforced by tests/test_native.py);
+    the Python zlib path is the always-available fallback. Payload is
+    accumulated to ~4 MB before compressing so the native call amortizes."""
 
     def __init__(self, path, level: int = 6):
         self._fh = open(path, "wb")
         self._buf = bytearray()
         self.level = level
+        try:
+            from parasuite_tpu import native
+
+            self._native = native.available()
+        except Exception:
+            self._native = False
 
     def write(self, data: bytes) -> None:
         self._buf += data
-        while len(self._buf) >= _MAX_BLOCK:
-            self._emit(_MAX_BLOCK)
+        if len(self._buf) >= (_MAX_BLOCK * 64):
+            self._flush_blocks(final=False)
 
-    def _emit(self, n: int) -> None:
+    def _flush_blocks(self, final: bool) -> None:
+        n = len(self._buf) if final else \
+            len(self._buf) - (len(self._buf) % _MAX_BLOCK)
+        if n <= 0:
+            return
         chunk = bytes(self._buf[:n])
         del self._buf[:n]
+        if self._native:
+            from parasuite_tpu import native
+
+            self._fh.write(native.bgzf_compress(chunk, self.level))
+            return
+        for i in range(0, len(chunk), _MAX_BLOCK):
+            self._emit(chunk[i : i + _MAX_BLOCK])
+
+    def _emit(self, chunk: bytes) -> None:
         co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
         comp = co.compress(chunk) + co.flush()
         total = 12 + 6 + len(comp) + 8
@@ -65,8 +89,7 @@ class BgzfWriter:
                        + struct.pack("<II", zlib.crc32(chunk), len(chunk)))
 
     def close(self) -> None:
-        while self._buf:
-            self._emit(min(len(self._buf), _MAX_BLOCK))
+        self._flush_blocks(final=True)
         self._fh.write(BGZF_EOF)
         self._fh.close()
 
@@ -303,18 +326,36 @@ def read_bam_header(fh) -> tuple[str, list[str], list[int]]:
 
 
 def iter_bam_records(bam_path):
-    """-> (header_text, names, lens, generator of record body bytes)."""
+    """-> (header_text, names, lens, generator of record body bytes).
+
+    Records are split out of large decompressed chunks (two tiny
+    gzip.read() calls per record measured 8 us/record of pure Python
+    call overhead — the config-5 sort bottleneck)."""
     fh = gzip.open(bam_path, "rb")
     text, names, lens = read_bam_header(fh)
 
     def gen():
+        chunk_bytes = 8 << 20
+        buf = b""
+        off = 0
         with fh:
             while True:
-                szb = fh.read(4)
-                if not szb:
-                    return
-                sz = struct.unpack("<i", szb)[0]
-                yield fh.read(sz)
+                if len(buf) - off < 4:
+                    buf = buf[off:] + fh.read(chunk_bytes)
+                    off = 0
+                    if len(buf) < 4:
+                        if buf:
+                            raise ValueError("truncated BAM record size")
+                        return
+                sz = struct.unpack_from("<i", buf, off)[0]
+                while len(buf) - off - 4 < sz:
+                    more = fh.read(chunk_bytes)
+                    if not more:
+                        raise ValueError("truncated BAM record body")
+                    buf = buf[off:] + more
+                    off = 0
+                yield buf[off + 4 : off + 4 + sz]
+                off += 4 + sz
 
     return text, names, lens, gen()
 
@@ -418,20 +459,35 @@ def coordinate_sort(in_path, out_path, min_mapq: int = 0,
     def spill(run: list, tmpdir) -> object:
         run.sort(key=lambda t: (t[0], t[1]))  # list.sort is stable
         fh = tempfile.TemporaryFile(dir=tmpdir)
+        acc = bytearray()
         for key_ref, pos, payload in run:
             raw = payload if in_bam else payload.encode("ascii")
-            fh.write(struct.pack("<qqi", key_ref, pos, len(raw)) + raw)
+            acc += struct.pack("<qqi", key_ref, pos, len(raw))
+            acc += raw
+            if len(acc) >= (8 << 20):
+                fh.write(acc)
+                acc.clear()
+        fh.write(acc)
         fh.seek(0)
         return fh
 
     def run_reader(fh):
+        chunk_bytes = 8 << 20
+        buf = b""
+        off = 0
         while True:
-            hdr = fh.read(20)
-            if not hdr:
-                fh.close()
-                return
-            key_ref, pos, ln = struct.unpack("<qqi", hdr)
-            raw = fh.read(ln)
+            if len(buf) - off < 20:
+                buf = buf[off:] + fh.read(chunk_bytes)
+                off = 0
+                if len(buf) < 20:
+                    fh.close()
+                    return
+            key_ref, pos, ln = struct.unpack_from("<qqi", buf, off)
+            while len(buf) - off - 20 < ln:
+                buf = buf[off:] + fh.read(chunk_bytes)
+                off = 0
+            raw = buf[off + 20 : off + 20 + ln]
+            off += 20 + ln
             yield key_ref, pos, (raw if in_bam else raw.decode("ascii"))
 
     run: list = []
