@@ -484,7 +484,10 @@ def coordinate_sort(in_path, out_path, min_mapq: int = 0,
                     return
             key_ref, pos, ln = struct.unpack_from("<qqi", buf, off)
             while len(buf) - off - 20 < ln:
-                buf = buf[off:] + fh.read(chunk_bytes)
+                more = fh.read(chunk_bytes)
+                if not more:
+                    raise ValueError("truncated sort spill")
+                buf = buf[off:] + more
                 off = 0
             raw = buf[off + 20 : off + 20 + ln]
             off += 20 + ln

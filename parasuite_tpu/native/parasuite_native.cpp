@@ -808,6 +808,13 @@ int64_t ps_bam_cluster_scan(
         std::memcpy(&n_cig, b + 12, 2);
         std::memcpy(&fl, b + 14, 2);
         std::memcpy(&l_seq, b + 16, 4);
+        // Bounds: cig/seq offsets derived from l_name/n_cig/l_seq must land
+        // inside this record's bsz bytes, or a malformed-but-BGZF-valid BAM
+        // would drive the parse loop out of bounds (ADVICE r4 medium).
+        if (l_seq < 0 ||
+            int64_t(32) + l_name + int64_t(4) * n_cig +
+                    (int64_t(l_seq) + 1) / 2 > int64_t(bsz))
+            return -1;
         pos += 4 + bsz;
         *consumed = pos;
         if ((fl & 0x4) || refid < 0 || refid >= n_refids ||

@@ -548,9 +548,22 @@ class AlignerEngine:
                 writer.write(self._format_one(batch, host, b))
             return
         fmt = native.bam_format_batch if bam else None
+
+        def emit_run(b: int, e: int) -> None:
+            # A record the C++ formatter cannot represent (name+NUL > 255
+            # bytes, MD text past its fixed buffer — possible with raised
+            # max_read_len) returns -1 and the wrapper raises; that must not
+            # abort the stream mid-run. Fall back to the per-record Python
+            # formatter for just this run (ADVICE r4 low).
+            try:
+                writer.write_block(self._format_native_run(batch, host, b, e,
+                                                           fmt=fmt))
+            except RuntimeError:
+                for i in range(b, e):
+                    writer.write(self._format_one(batch, host, i))
+
         if host.xa is None:
-            writer.write_block(self._format_native_run(batch, host, 0, n,
-                                                       fmt=fmt))
+            emit_run(0, n)
             return
         elig = np.asarray([host.xa[b] is None for b in range(n)])
         # vectorized run segmentation (a per-element Python scan here costs
@@ -561,8 +574,7 @@ class AlignerEngine:
         for b, e in zip(edges[:-1], edges[1:]):
             b, e = int(b), int(e)
             if elig[b]:
-                writer.write_block(self._format_native_run(batch, host, b, e,
-                                                           fmt=fmt))
+                emit_run(b, e)
             else:
                 for i in range(b, e):
                     writer.write(self._format_one(batch, host, i))

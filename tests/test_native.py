@@ -337,3 +337,66 @@ def test_formatter_full_cigar_parity(tiny_ref, tiny_index, small_cfg):
         encode_bam_record(l.split("\t"), rid_of)
         for l in py_w.result().decode().rstrip("\n").split("\n"))
     assert bam_w.result() == expect
+
+
+def test_bam_cluster_scan_malformed_bounds(tiny_ref):
+    """A BGZF-valid but malformed BAM record whose l_name/n_cig/l_seq claim
+    more bytes than its block_size must raise ValueError('malformed BAM
+    chunk'), not read out of bounds (ADVICE r4 medium)."""
+    import struct
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    # fixed 32-byte section + 4 payload bytes, but fields claim
+    # 32 + l_name(2) + 4*n_cig(4) + (l_seq+1)//2(50) = 100 > bsz = 36
+    body = struct.pack("<iiBBHHHiiii", 0, 10, 2, 37, 0, 4, 0, 100,
+                       -1, -1, 0) + b"q\x00\x00\x00"
+    chunk = struct.pack("<i", len(body)) + body
+    starts = np.asarray([0], dtype=np.int64)
+    with pytest.raises(ValueError, match="malformed BAM chunk"):
+        native.bam_cluster_scan(chunk, tiny_ref.seq, starts, max_recs=4)
+
+
+def test_emit_native_failure_falls_back(tiny_ref, tiny_index, small_cfg,
+                                        monkeypatch):
+    """When the C++ batch formatter rejects a run (-1 -> RuntimeError: long
+    name, MD buffer overflow), _emit must fall back to the per-record Python
+    formatter for that run instead of aborting the stream (ADVICE r4 low)."""
+    from conftest import sample_reads
+
+    from parasuite_tpu.io.batch import ReadBatch
+    from parasuite_tpu.pipeline import AlignerEngine
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(704)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 32, 50, mutate=1)
+    batch = ReadBatch(codes=codes, lengths=lengths,
+                      names=[f"f{i}" for i in range(32)],
+                      quals=[b"I" * 50] * 32)
+    engine = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    host = engine.align_to_host(batch)
+
+    class Collect:
+        def __init__(self, with_block):
+            self.parts = []
+            if with_block:
+                self.write_block = lambda t: self.parts.append(
+                    t if isinstance(t, bytes) else t.encode())
+
+        def write(self, line):
+            self.parts.append((line + "\n").encode())
+
+        def result(self):
+            return b"".join(self.parts)
+
+    py_w = Collect(False)
+    engine.emit_sam(batch, host, py_w)
+
+    def boom(*a, **k):
+        raise RuntimeError("ps_sam_format_batch failed (buffer/input)")
+
+    monkeypatch.setattr(native, "sam_format_batch", boom)
+    fb_w = Collect(True)
+    engine.emit_sam(batch, host, fb_w)  # must not raise
+    assert fb_w.result() == py_w.result()
