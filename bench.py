@@ -85,7 +85,7 @@ def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False,
     wt, wn = pack_codes_host(codes[:batch_size])
     jax.device_get(fn(didx, sprof, wt, wn, lengths16[:batch_size], ms_table))
 
-    best = 0.0
+    rates = []
     results = None
     for _round in range(TIMED_ROUNDS):
         t0 = time.perf_counter()
@@ -100,8 +100,9 @@ def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False,
             outs.append(o)
         outs = [jax.device_get(o) for o in outs]  # bytes on host = done
         dt = time.perf_counter() - t0
-        best = max(best, n_reads / dt)
+        rates.append(n_reads / dt)
         results = outs
+    best = max(rates)
     extras = {}
     if check_accuracy:
         from parasuite_tpu.benchkit import evaluate_against_truth
@@ -117,7 +118,7 @@ def run_throughput(cfg, n_reads, batch_size, ref_len, check_accuracy=False,
                   "precision": round(rep.precision, 4),
                   "n_unmapped": rep.n_reads - rep.n_mapped,
                   "n_mismapped": rep.n_mapped - rep.n_correct}
-    return best, extras
+    return best, extras, rates
 
 
 def run_end_to_end(cfg, state, n_reads, tmpdir):
@@ -158,9 +159,10 @@ def run_end_to_end(cfg, state, n_reads, tmpdir):
         dt = time.perf_counter() - t0
         assert n_rec == n_reads
         rates.append(n_reads / dt)
+    raw = list(rates)
     rates.sort()
     median = rates[len(rates) // 2]
-    return max(rates), median
+    return max(rates), median, raw
 
 
 def cpu_subprocess_throughput() -> float:
@@ -172,7 +174,7 @@ def cpu_subprocess_throughput() -> float:
         "os.environ['JAX_PLATFORMS']='cpu'\n"
         "import bench\n"
         "cfg = bench.make_cfg()\n"
-        f"r,_ = bench.run_throughput(cfg, {N_READS_CPU}, {BATCH_CPU}, "
+        f"r,_,_ = bench.run_throughput(cfg, {N_READS_CPU}, {BATCH_CPU}, "
         f"{REF_LEN})\n"
         "print(json.dumps({'cpu_reads_per_s': r}))\n"
     )
@@ -205,10 +207,31 @@ def main() -> int:
 
     cfg = make_cfg()
     state = build_state(cfg, REF_LEN)
-    tpu_rps, extras = run_throughput(cfg, N_READS_TPU, BATCH_TPU, REF_LEN,
-                                     check_accuracy=True, state=state)
+
+    def spread_of(rates):
+        return (max(rates) - min(rates)) / min(rates)
+
+    # Variance guard (VERDICT r4 weak #1: a tunnel-congested session once
+    # recorded a 40%-low device number + e2e_frac 1.474 with nothing marking
+    # it suspect). Record every raw round; when the device best-of-N spread
+    # exceeds 15% or e2e lands ABOVE the device-only loop (physically
+    # incoherent), re-run the device leg once and judge on the fresh rounds.
+    tpu_rps, extras, dev_rounds = run_throughput(
+        cfg, N_READS_TPU, BATCH_TPU, REF_LEN, check_accuracy=True,
+        state=state)
     with tempfile.TemporaryDirectory(prefix="parasuite_bench_") as td:
-        e2e_rps, e2e_med = run_end_to_end(cfg, state, N_READS_TPU, Path(td))
+        e2e_rps, e2e_med, e2e_rounds = run_end_to_end(cfg, state, N_READS_TPU,
+                                                      Path(td))
+    dev_spread = spread_of(dev_rounds)
+    rerun = dev_spread > 0.15 or e2e_med > max(dev_rounds)
+    if rerun:
+        rps2, _ex2, rounds2 = run_throughput(
+            cfg, N_READS_TPU, BATCH_TPU, REF_LEN, state=state)
+        dev_rounds = dev_rounds + rounds2
+        tpu_rps = max(tpu_rps, rps2)
+        dev_spread = spread_of(rounds2)  # judge variance on the fresh run
+    suspect = dev_spread > 0.15 or e2e_med > tpu_rps
+
     cpu_rps = cpu_subprocess_throughput()
     denom = 10.0 * cpu_rps if cpu_rps > 0 else float("nan")
     out = {
@@ -222,10 +245,18 @@ def main() -> int:
         "e2e_best_reads_per_s": round(e2e_rps, 1),
         "e2e_frac": round(e2e_med / tpu_rps, 3),
         "cpu_reads_per_s": round(cpu_rps, 1),
+        "device_rounds": [round(r, 1) for r in dev_rounds],
+        "device_spread": round(dev_spread, 3),
+        "e2e_rounds": [round(r, 1) for r in e2e_rounds],
+        "e2e_spread": round(spread_of(e2e_rounds), 3),
+        "rerun_triggered": rerun,
+        "suspect": suspect,
         "baseline_note": "vs_baseline = tpu/(10x same-pipeline CPU backend); "
                          "reference binary unavailable (BASELINE.md); "
                          "end_to_end = FASTQ->SAM through streaming_align, "
-                         f"median of {E2E_ROUNDS} runs",
+                         f"median of {E2E_ROUNDS} runs; suspect=true means "
+                         "device spread >15% or e2e>device even after one "
+                         "re-run — treat the capture as tunnel-noisy",
         **extras,
     }
     print(json.dumps(out))

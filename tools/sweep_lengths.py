@@ -36,7 +36,7 @@ def main() -> int:
                                   "error": str(e)}), flush=True)
                 continue
             state = bench.build_state(cfg, bench.REF_LEN)
-            rps, extras = bench.run_throughput(
+            rps, extras, _rounds = bench.run_throughput(
                 cfg, n_reads, cfg.batch_size, bench.REF_LEN,
                 check_accuracy=True, state=state, read_len=L)
             print(json.dumps({

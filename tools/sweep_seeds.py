@@ -31,7 +31,7 @@ def main() -> int:
     for ms, stride in GRID:
         cfg = dataclasses.replace(base, max_seeds=ms, seed_stride=stride)
         state = bench.build_state(cfg, bench.REF_LEN)
-        rps, extras = bench.run_throughput(cfg, n_reads, cfg.batch_size,
+        rps, extras, _rounds = bench.run_throughput(cfg, n_reads, cfg.batch_size,
                                            bench.REF_LEN, check_accuracy=True,
                                            state=state)
         print(json.dumps({"max_seeds": ms, "stride": stride,
