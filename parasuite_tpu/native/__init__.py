@@ -284,6 +284,35 @@ def bam_format_batch(ref_seq: np.ndarray, codes: np.ndarray,
     return ctypes.string_at(out, w)
 
 
+def bam_sort(in_path, out_path, header_blob: bytes, min_mapq: int = 0,
+             mapped_only: bool = False, max_in_memory: int = 4_000_000,
+             level: int = 6) -> int:
+    """Coordinate-sort a BAM into a BAM entirely in C++ (inflate -> filter ->
+    stable external sort -> BGZF deflate), byte-identical to
+    io.bam.coordinate_sort's Python path (tests/test_bam.py). header_blob is
+    the full output BAM header bytes (magic + SO:coordinate text + ref
+    dictionary), built by the caller. Returns records written."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if not hasattr(lib.ps_bam_sort, "_configured"):
+        lib.ps_bam_sort.restype = ctypes.c_int64
+        lib.ps_bam_sort.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                    ctypes.c_char_p, ctypes.c_int64,
+                                    ctypes.c_int32, ctypes.c_int32,
+                                    ctypes.c_int64, ctypes.c_int32]
+        lib.ps_bam_sort._configured = True
+    n = lib.ps_bam_sort(str(in_path).encode(), str(out_path).encode(),
+                        header_blob, len(header_blob),
+                        int(min_mapq), int(bool(mapped_only)),
+                        int(max_in_memory), int(level))
+    if n == -1:
+        raise ValueError("malformed or truncated BAM input")
+    if n < 0:
+        raise RuntimeError("ps_bam_sort I/O failure")
+    return int(n)
+
+
 def bgzf_compress(data: bytes, level: int = 6) -> bytes:
     """data -> spec BGZF members (no EOF marker), same framing as
     io.bam.BgzfWriter but compressed in C++ (GIL released during deflate)."""

@@ -215,3 +215,64 @@ def test_chunked_sort_matches_in_memory(tmp_path, out_ext):
     coordinate_sort(srcb, outb1)
     coordinate_sort(srcb, outb2, max_in_memory=17)
     assert outb1.read_bytes() == outb2.read_bytes()
+
+
+def test_native_sort_parity(tmp_path):
+    """The C++ BAM->BAM external sort must be byte-identical to the Python
+    path — same records, same stability, same filters, same BGZF framing —
+    in-memory AND with spilled runs (VERDICT r4 next-round #3)."""
+    from parasuite_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    # a bigger, tie-heavy input: many records on few (refid, pos) keys so
+    # stability is load-bearing, plus unmapped + gapped shapes from _sam_text
+    rng = np.random.default_rng(77)
+    mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    lines = _sam_text().rstrip("\n").split("\n")
+    hdr = [l for l in lines if l.startswith("@")]
+    recs = [l for l in lines if not l.startswith("@")]
+    for i in range(500):
+        chrom = "chrA" if i % 3 else "chrB"
+        pos = int(rng.integers(1, 40))  # heavy ties
+        if i % 17 == 0:
+            recs.append(f"u{i}\t4\t*\t0\t0\t*\t*\t0\t0\t{mk(30)}\t" +
+                        "K" * 30)
+        else:
+            recs.append(f"m{i}\t{16 if i % 2 else 0}\t{chrom}\t{pos}\t"
+                        f"{int(rng.integers(0, 60))}\t30M\t*\t0\t0\t"
+                        f"{mk(30)}\t{'I' * 30}\tNM:i:0\tAS:i:180")
+    src_sam = tmp_path / "big.sam"
+    src_sam.write_text("\n".join(hdr + recs) + "\n")
+    src = tmp_path / "big.bam"
+    sam_to_bam(src_sam, src)
+
+    for kwargs in ({}, {"max_in_memory": 37},
+                   {"min_mapq": 20, "mapped_only": True},
+                   {"min_mapq": 25, "max_in_memory": 41}):
+        out_n = tmp_path / "n.bam"
+        out_p = tmp_path / "p.bam"
+        n1 = coordinate_sort(src, out_n, **kwargs)
+        n2 = coordinate_sort(src, out_p, native_ok=False, **kwargs)
+        assert n1 == n2, kwargs
+        assert out_n.read_bytes() == out_p.read_bytes(), kwargs
+
+
+def test_native_sort_rejects_truncated(tmp_path):
+    """A truncated BAM must raise, not silently drop records (mirrors
+    iter_bam_records)."""
+    from parasuite_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    src_sam = tmp_path / "t.sam"
+    src_sam.write_text(_sam_text())
+    src = tmp_path / "t.bam"
+    sam_to_bam(src_sam, src)
+    # re-deflate a truncated payload so the gzip layer stays valid
+    payload = gzip.decompress(src.read_bytes())
+    cut = tmp_path / "cut.bam"
+    with BgzfWriter(cut) as w:
+        w.write(payload[:-30])
+    with pytest.raises(ValueError):
+        coordinate_sort(cut, tmp_path / "o.bam")
