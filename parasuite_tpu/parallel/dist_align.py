@@ -25,16 +25,35 @@ from parasuite_tpu.ops.profile_update import profile_counts_batch
 
 
 def make_dist_align_step(cfg: AlignConfig, mesh: Mesh, axis_name: str = "data",
-                         with_counts: bool = True):
+                         with_counts: bool = True,
+                         with_candidates: bool = False):
     """-> jitted step(didx, sprof, codes, lengths, min_scores).
 
     codes/lengths/min_scores are sharded on their leading (read) axis; the
     leading dim must be divisible by the mesh size. Returns (AlignResult
     sharded along 'data', counts [L, 4, 4] replicated psum) — or just the
     AlignResult when with_counts=False.
+
+    with_candidates=True (combined genome+transcriptome mode, SURVEY.md §2
+    component 12 + 7): the step returns (AlignResult, CandidateTable), both
+    data-sharded — every per-candidate row rides with its read's shard, so
+    each process re-finalizes/projects its own reads host-side exactly like
+    the single-process CombinedEngine.to_host. Per-candidate outputs are
+    per-read state (no cross-read reduction), which is why the combined step
+    shards cleanly; profile counts in combined mode accumulate from EMITTED
+    records host-side (CombinedEngine.counts_from_host), so with_counts must
+    stay False here.
     """
+    if with_candidates and with_counts:
+        raise ValueError("combined mode counts profiles host-side; "
+                         "with_counts+with_candidates unsupported")
 
     def step(didx, sprof, codes, lengths, min_scores):
+        if with_candidates:
+            from parasuite_tpu.ops.aligner import align_batch_with_candidates
+
+            return align_batch_with_candidates(didx, sprof, codes, lengths,
+                                               min_scores, cfg)
         res = align_batch(didx, sprof, codes, lengths, min_scores, cfg)
         if not with_counts:
             return res
@@ -45,7 +64,12 @@ def make_dist_align_step(cfg: AlignConfig, mesh: Mesh, axis_name: str = "data",
 
     data = P(axis_name)
     repl = P()
-    out_specs = (data, repl) if with_counts else data
+    if with_candidates:
+        out_specs = (data, data)
+    elif with_counts:
+        out_specs = (data, repl)
+    else:
+        out_specs = data
     sharded = jax.shard_map(step, mesh=mesh,
                             in_specs=(repl, repl, data, data, data),
                             out_specs=out_specs)
