@@ -109,19 +109,46 @@ def main() -> int:
                                                seed=22, tc_rate=0.12)
         write_fastq(d / "reads.fastq", truth.names(), np.asarray(codes),
                     np.asarray(lengths))
-        # best-of-3: the slowest process defines each group's wall, so any
-        # scheduler noise on a small box hits the 2-proc point twice as
-        # hard — take the best round per config like every other bench here
-        rps1 = max(run_nproc(d, 1) for _ in range(3))
-        rps2 = max(run_nproc(d, 2) for _ in range(3))
-    eff = rps2 / (2.0 * rps1)
+        # INTERLEAVED median-of-N (VERDICT r4 weak #2/next-round #5): the
+        # r04 capture measured all 1-proc rounds first, and a slow patch of
+        # host weather collapsed rps_1proc alone -> efficiency 1.074,
+        # superlinear at 2 processes = measurement artifact by definition.
+        # Interleaving puts both configs under the same weather; medians
+        # resist one bad round; efficiency > 1.0 triggers a remeasure and,
+        # if it persists, a suspect flag instead of a committed absurdity.
+        import statistics
+
+        r1: list = []
+        r2: list = []
+
+        def one_round():
+            r1.append(run_nproc(d, 1))
+            r2.append(run_nproc(d, 2))
+
+        for _ in range(3):
+            one_round()
+        med = lambda xs: statistics.median(xs)
+        eff = med(r2) / (2.0 * med(r1))
+        retries = 0
+        while eff > 1.0 and retries < 2:
+            one_round()
+            eff = med(r2) / (2.0 * med(r1))
+            retries += 1
+    spread = lambda xs: round((max(xs) - min(xs)) / min(xs), 3)
     print(json.dumps({
         "n_reads": n_reads, "batch": BATCH,
         "devices_per_process": 1,
-        "rps_1proc": round(rps1, 1), "rps_2proc": round(rps2, 1),
+        "rps_1proc": round(med(r1), 1), "rps_2proc": round(med(r2), 1),
+        "rounds_1proc": [round(x, 1) for x in r1],
+        "rounds_2proc": [round(x, 1) for x in r2],
+        "spread_1proc": spread(r1), "spread_2proc": spread(r2),
         "scaling_efficiency_2proc": round(eff, 3),
+        "remeasure_rounds": retries,
+        "suspect": eff > 1.0,
         "note": "virtual CPU mesh, Gloo collectives, in-step profile psum; "
-                "steady-state loop time (compile excluded by warmup)",
+                "steady-state loop time (compile excluded by warmup); "
+                "interleaved 1p/2p rounds, median-of-N; suspect=true means "
+                "efficiency stayed >1.0 after remeasures (noise-dominated)",
     }))
     return 0
 
