@@ -38,7 +38,7 @@ def _cfg_from_args(args) -> "AlignConfig":
     kw = {}
     for f in ("max_read_len", "kmer_size", "band_width", "max_candidates",
               "max_occ", "max_seeds", "seed_stride", "batch_size",
-              "cluster_min_reads", "seed"):
+              "cluster_min_reads", "seed", "rescue_kmer"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -57,6 +57,10 @@ def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
                         "overlapping seeds, higher sensitivity; 0 = "
                         "non-overlapping, the default)")
     p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--rescue-kmer", dest="rescue_kmer", type=int,
+                   help="two-tier seeding: retry unmapped reads with this "
+                        "smaller seed k in a second device pass (36-40bp "
+                        "libraries; 0 = off)")
     p.add_argument("--seed", type=int)
 
 

@@ -61,6 +61,17 @@ class AlignConfig:
                                      # behavior)
     max_occ: int = 64                # skip seeds whose k-mer occurs more often
     max_candidates: int = 16         # C: candidate diagonals kept per read/strand
+    rescue_kmer: int = 0             # two-tier seeding (VERDICT r4 weak #5):
+                                     # when > 0, reads the primary pass leaves
+                                     # UNMAPPED retry through a second device
+                                     # pass seeded at this smaller k (same
+                                     # scoring/DP; pipeline/align.py
+                                     # _apply_rescue). Targets the 36bp tail
+                                     # where 1% of stress-model reads have no
+                                     # error-free 12-mer (SWEEP_LENGTHS_r04:
+                                     # seeding-information ceiling 0.9898).
+                                     # 0 = off (the default operating point
+                                     # is unchanged and bit-identical)
 
     # --- extension (banded affine-gap DP; SURVEY.md §7 "Extension/scoring") ---
     band_width: int = 5              # W: max net indel; band = 2W+1 diagonals
@@ -123,6 +134,9 @@ class AlignConfig:
             raise ValueError("seed offsets must fit in max_read_len")
         if self.kmer_size > 15:
             raise ValueError("kmer_size > 15 overflows int32 k-mer codes")
+        if self.rescue_kmer and not (6 <= self.rescue_kmer < self.kmer_size):
+            raise ValueError("rescue_kmer must be 0 (off) or in "
+                             "[6, kmer_size)")
         # the Pallas kernel ships per-base scores as int8 (ops/pallas_extend)
         for f in ("match_score", "mismatch_score", "n_score",
                   "profile_min_score", "profile_max_score"):

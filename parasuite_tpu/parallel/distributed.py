@@ -199,6 +199,20 @@ def run_distributed_host(engine, fastq, out_prefix, *,
                             engine.sam_ref.seq, int(host.pos[b]), oriented,
                             ln, st, host.cigars[b], gsub)
                         n_gapped += 1
+                # ungapped rescued rows (config.rescue_kmer) are local host
+                # work outside the in-step psum, like the gapped subs above
+                r_rows = getattr(engine, "last_rescue_rows", None)
+                if r_rows is not None:
+                    for b in r_rows:
+                        b = int(b)
+                        if host.mapped[b] and host.ug_equal[b]:
+                            ln = int(batch.lengths[b])
+                            st = int(host.strand[b])
+                            oriented = (batch.codes[b, :ln] if st == 0 else
+                                        revcomp_codes(batch.codes[b, :ln]))
+                            count_substitutions_from_cigar(
+                                engine.sam_ref.seq, int(host.pos[b]),
+                                oriented, ln, st, host.cigars[b], gsub)
             engine.emit_sam(batch, host, writer)
             n_records += batch.n_real
             batch_records.append(batch.n_real)

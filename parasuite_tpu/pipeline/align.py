@@ -268,6 +268,28 @@ class AlignerEngine:
             self._align_packed = jax.jit(
                 functools.partial(align_batch_packed, cfg=cfg),
                 static_argnames=("with_counts",))
+        # two-tier seeding rescue (config.rescue_kmer): a second k-mer index
+        # at the smaller k plus a jitted step under cfg2; unmapped reads
+        # retry through it in to_host (_apply_rescue). Off by default — the
+        # primary operating point stays bit-identical when rescue_kmer == 0.
+        self._rescue = None
+        self.rescue_overflow = 0   # unmapped rows beyond the rescue batch
+        self.rescue_mapped = 0     # reads the rescue pass recovered
+        if cfg.rescue_kmer:
+            from parasuite_tpu.ops.aligner import (align_batch,
+                                                   align_batch_packed,
+                                                   min_score_table)
+
+            cfg2 = cfg.replace(kmer_size=cfg.rescue_kmer, rescue_kmer=0)
+            idx2 = KmerIndex.build(ref.seq, cfg2.kmer_size)
+            didx2 = DeviceIndex.from_host(ref, idx2)
+            cap = max(256, cfg.batch_size // 8)
+            if self.supports_packed:
+                step2 = jax.jit(functools.partial(align_batch_packed,
+                                                  cfg=cfg2))
+            else:
+                step2 = jax.jit(functools.partial(align_batch, cfg=cfg2))
+            self._rescue = (cfg2, didx2, step2, cap)
 
     def set_profile(self, s_tensor: np.ndarray) -> None:
         """Swap in a learned score tensor (pass 2). Same compiled fn — the
@@ -345,6 +367,16 @@ class AlignerEngine:
 
         lens = batch.lengths
         tc = np.asarray(res.tc_count).copy()
+        mapq = np.asarray(res.mapq)
+        x0 = np.asarray(res.x0)
+        x1 = np.asarray(res.x1)
+        self.last_rescue_rows = None  # rows rescued in THIS batch (stream
+        # profile accumulation counts their substitutions host-side: the
+        # fused device counts are pass-1-keyed and never saw them)
+        if self._rescue is not None:
+            (mapped, strand, pos, score, mapq, x0, x1, nm, ug_eq, diag,
+             tc) = self._apply_rescue(batch, mapped, strand, pos, score,
+                                      mapq, x0, x1, nm, ug_eq, diag, tc)
         cigars = LazyCigars(mapped, lens)
         grows = np.nonzero(mapped & ~ug_eq)[0]
         if grows.shape[0]:
@@ -371,10 +403,68 @@ class AlignerEngine:
         xa = (self._xa_strings(batch, table, mapped, strand, pos, score)
               if table is not None else None)
         return HostAlignments(mapped=mapped, strand=strand, pos=pos,
-                              score=score, mapq=np.asarray(res.mapq),
-                              x0=np.asarray(res.x0), x1=np.asarray(res.x1),
+                              score=score, mapq=mapq,
+                              x0=x0, x1=x1,
                               nm=nm, ug_equal=ug_eq, cigars=cigars,
                               tc_count=tc, xa=xa)
+
+    def _apply_rescue(self, batch, mapped, strand, pos, score, mapq, x0, x1,
+                      nm, ug_eq, diag, tc):
+        """Two-tier seeding (config.rescue_kmer): retry this batch's
+        unmapped reads through the smaller-k device pass and merge the hits.
+
+        Rescued rows carry the cfg2 result wholesale — pos/score/NM/MAPQ/
+        X0/X1 are the small-k pass's values (both passes are oracle-exact
+        under their configs, so the merge is deterministic). Gapped rescued
+        winners flow into the same host traceback as primary winners (band/
+        gap parameters are identical between the tiers). Profile counts:
+        the fused device matrix is pass-1-keyed, so pipeline/stream.py
+        counts rescued UNGAPPED rows host-side from self.last_rescue_rows
+        (gapped rescued rows ride the existing gapped-CIGAR loop) — every
+        emitted record contributes, like the reference's record sweep
+        (SURVEY.md §3.3). XA alternates are not emitted for rescued rows.
+        Unmapped rows beyond the rescue batch cap stay unmapped and are
+        counted in self.rescue_overflow (no silent cap, SURVEY.md §7)."""
+        from parasuite_tpu.ops.aligner import (pack_codes_host,
+                                               unpack_result_host)
+
+        cfg2, didx2, step2, cap = self._rescue
+        lens = np.asarray(batch.lengths)
+        n = batch.n_real
+        rows = np.nonzero(~mapped[:n] & (lens[:n] > 0))[0]
+        unchanged = (mapped, strand, pos, score, mapq, x0, x1, nm, ug_eq,
+                     diag, tc)
+        if rows.shape[0] == 0:
+            return unchanged
+        if rows.shape[0] > cap:
+            self.rescue_overflow += int(rows.shape[0] - cap)
+            rows = rows[:cap]
+        L = batch.codes.shape[1]
+        codes2 = np.full((cap, L), 4, dtype=np.int8)
+        lens2 = np.zeros(cap, dtype=np.int32)
+        codes2[: rows.shape[0]] = batch.codes[rows]
+        lens2[: rows.shape[0]] = lens[rows]
+        if self.supports_packed:
+            two, nmask = pack_codes_host(codes2)
+            r2 = step2(didx2, self.sprof, two, nmask,
+                       lens2.astype(np.uint16), self._ms_table)
+            r2 = unpack_result_host(jax.device_get(r2), cfg2.band_width)
+        else:
+            r2 = jax.device_get(step2(didx2, self.sprof, codes2, lens2,
+                                      min_scores_host(lens2, cfg2)))
+        m2 = np.asarray(r2.mapped)[: rows.shape[0]]
+        if not m2.any():
+            return unchanged
+        hit = rows[m2]
+        src = np.nonzero(m2)[0]
+        self.rescue_mapped += int(hit.shape[0])
+        self.last_rescue_rows = hit
+        outs = [a.copy() for a in unchanged]
+        for o, f in zip(outs, ("mapped", "strand", "pos", "score", "mapq",
+                               "x0", "x1", "nm", "ug_equal", "diag",
+                               "tc_count")):
+            o[hit] = np.asarray(getattr(r2, f))[src]
+        return tuple(outs)
 
     def _xa_strings(self, batch, table, mapped, strand, pos, score,
                     rows=None):

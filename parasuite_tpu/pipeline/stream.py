@@ -356,6 +356,23 @@ def streaming_align(engine, fastq, out_sam, *, resume: bool = False,
                             engine.sam_ref.seq, int(host.pos[b]), oriented,
                             ln, st, host.cigars[b], counts)
                         n_gapped += 1
+                # two-tier rescue (config.rescue_kmer): ungapped rescued
+                # rows never reached the fused device matrix (pass-1-keyed)
+                # — count their substitutions here so every emitted record
+                # contributes; gapped rescued rows went through the loop
+                # above already
+                r_rows = getattr(engine, "last_rescue_rows", None)
+                if r_rows is not None:
+                    for b in r_rows:
+                        b = int(b)
+                        if host.mapped[b] and host.ug_equal[b]:
+                            ln = int(batch.lengths[b])
+                            st = int(host.strand[b])
+                            oriented = (batch.codes[b, :ln] if st == 0 else
+                                        revcomp_codes(batch.codes[b, :ln]))
+                            count_substitutions_from_cigar(
+                                engine.sam_ref.seq, int(host.pos[b]),
+                                oriented, ln, st, host.cigars[b], counts)
             snap = {"profiled": n_profiled,
                     "counts": counts.copy() if with_profile_counts else None,
                     "indels": ((ins.copy(), dels.copy(), n_gapped)

@@ -42,9 +42,16 @@ def make_cfg(batch):
     from parasuite_tpu.config import AlignConfig
 
     # bench.py's operating point (kmer 12, 7 seeds, max_occ 16) — the whole
-    # point here is measuring THAT config against repeat structure
-    return AlignConfig(max_read_len=READ_LEN, kmer_size=12, batch_size=batch,
-                       max_candidates=8, max_occ=16)
+    # point here is measuring THAT config against repeat structure.
+    # PARASUITE_GENOME_K / PARASUITE_GENOME_MAXOCC probe the >=200 Mbp
+    # operating point: at G=200M and k=12 the MEAN bucket holds ~12 entries,
+    # so max_occ=16 sits inside the Poisson bulk and drops 16.5% of k-mer
+    # mass (measured r05) — the fix is more buckets (k=13) or a higher cap.
+    return AlignConfig(
+        max_read_len=READ_LEN,
+        kmer_size=int(os.environ.get("PARASUITE_GENOME_K", 12)),
+        batch_size=batch, max_candidates=8,
+        max_occ=int(os.environ.get("PARASUITE_GENOME_MAXOCC", 16)))
 
 
 def index_census(index, cfg) -> dict:

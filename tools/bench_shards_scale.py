@@ -56,7 +56,9 @@ def main() -> int:
     n_index = 2
     n_data = 2
     batch = N_READS
-    cfg = AlignConfig(max_read_len=READ_LEN, kmer_size=12, batch_size=batch,
+    # k=13 per the round-5 genome-scale rule (BASELINE.md: G/4^k <~ 3 at
+    # 100 Mbp/shard)
+    cfg = AlignConfig(max_read_len=READ_LEN, kmer_size=13, batch_size=batch,
                       max_candidates=8, max_occ=16, extend_impl="jnp",
                       select_impl="jnp")
 
