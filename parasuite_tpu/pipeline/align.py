@@ -276,19 +276,18 @@ class AlignerEngine:
         self.rescue_overflow = 0   # unmapped rows beyond the rescue batch
         self.rescue_mapped = 0     # reads the rescue pass recovered
         if cfg.rescue_kmer:
-            from parasuite_tpu.ops.aligner import (align_batch,
-                                                   align_batch_packed,
-                                                   min_score_table)
+            from parasuite_tpu.ops import aligner as _ops
 
             cfg2 = cfg.replace(kmer_size=cfg.rescue_kmer, rescue_kmer=0)
             idx2 = KmerIndex.build(ref.seq, cfg2.kmer_size)
             didx2 = DeviceIndex.from_host(ref, idx2)
             cap = max(256, cfg.batch_size // 8)
             if self.supports_packed:
-                step2 = jax.jit(functools.partial(align_batch_packed,
+                step2 = jax.jit(functools.partial(_ops.align_batch_packed,
                                                   cfg=cfg2))
             else:
-                step2 = jax.jit(functools.partial(align_batch, cfg=cfg2))
+                step2 = jax.jit(functools.partial(_ops.align_batch,
+                                                  cfg=cfg2))
             self._rescue = (cfg2, didx2, step2, cap)
 
     def set_profile(self, s_tensor: np.ndarray) -> None:
@@ -430,7 +429,9 @@ class AlignerEngine:
 
         cfg2, didx2, step2, cap = self._rescue
         lens = np.asarray(batch.lengths)
-        n = batch.n_real
+        # n_total, not n_real (len(names)): padding rows are excluded by
+        # their zero length, and nameless library-level batches still rescue
+        n = batch.codes.shape[0]
         rows = np.nonzero(~mapped[:n] & (lens[:n] > 0))[0]
         unchanged = (mapped, strand, pos, score, mapq, x0, x1, nm, ug_eq,
                      diag, tc)
