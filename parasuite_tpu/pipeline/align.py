@@ -372,10 +372,12 @@ class AlignerEngine:
         self.last_rescue_rows = None  # rows rescued in THIS batch (stream
         # profile accumulation counts their substitutions host-side: the
         # fused device counts are pass-1-keyed and never saw them)
-        if self._rescue is not None:
-            (mapped, strand, pos, score, mapq, x0, x1, nm, ug_eq, diag,
-             tc) = self._apply_rescue(batch, mapped, strand, pos, score,
-                                      mapq, x0, x1, nm, ug_eq, diag, tc)
+        # rescue dispatches NOW and merges after the primary host work, so
+        # its device round-trip overlaps the gapped tracebacks + CIGAR
+        # build (a synchronous call here measured 22-32% of 36bp e2e on the
+        # tunnel — tools/bench_rescue.py)
+        pend_rescue = (self._dispatch_rescue(batch, mapped)
+                       if self._rescue is not None else None)
         cigars = LazyCigars(mapped, lens)
         grows = np.nonzero(mapped & ~ug_eq)[0]
         if grows.shape[0]:
@@ -399,6 +401,11 @@ class AlignerEngine:
                 tc[b] = tc_count_from_cigar(self.ref.seq, p,
                                             om[k, : int(lens[b])],
                                             int(strand[b]), cigar)
+        if pend_rescue is not None:
+            (mapped, strand, pos, score, mapq, x0, x1, nm, ug_eq, diag,
+             tc) = self._finish_rescue(pend_rescue, batch, cigars, mapped,
+                                       strand, pos, score, mapq, x0, x1, nm,
+                                       ug_eq, diag, tc)
         xa = (self._xa_strings(batch, table, mapped, strand, pos, score)
               if table is not None else None)
         return HostAlignments(mapped=mapped, strand=strand, pos=pos,
@@ -407,25 +414,22 @@ class AlignerEngine:
                               nm=nm, ug_equal=ug_eq, cigars=cigars,
                               tc_count=tc, xa=xa)
 
-    def _apply_rescue(self, batch, mapped, strand, pos, score, mapq, x0, x1,
-                      nm, ug_eq, diag, tc):
-        """Two-tier seeding (config.rescue_kmer): retry this batch's
-        unmapped reads through the smaller-k device pass and merge the hits.
+    def _dispatch_rescue(self, batch, mapped):
+        """Two-tier seeding (config.rescue_kmer), dispatch half: start the
+        smaller-k device pass over this batch's unmapped reads and return
+        the pending handle; _finish_rescue merges after the primary host
+        work so the round-trip overlaps it.
 
         Rescued rows carry the cfg2 result wholesale — pos/score/NM/MAPQ/
         X0/X1 are the small-k pass's values (both passes are oracle-exact
-        under their configs, so the merge is deterministic). Gapped rescued
-        winners flow into the same host traceback as primary winners (band/
-        gap parameters are identical between the tiers). Profile counts:
+        under their configs, so the merge is deterministic). Profile counts:
         the fused device matrix is pass-1-keyed, so pipeline/stream.py
-        counts rescued UNGAPPED rows host-side from self.last_rescue_rows
-        (gapped rescued rows ride the existing gapped-CIGAR loop) — every
+        counts rescued rows host-side from self.last_rescue_rows — every
         emitted record contributes, like the reference's record sweep
         (SURVEY.md §3.3). XA alternates are not emitted for rescued rows.
         Unmapped rows beyond the rescue batch cap stay unmapped and are
         counted in self.rescue_overflow (no silent cap, SURVEY.md §7)."""
-        from parasuite_tpu.ops.aligner import (pack_codes_host,
-                                               unpack_result_host)
+        from parasuite_tpu.ops.aligner import pack_codes_host
 
         cfg2, didx2, step2, cap = self._rescue
         lens = np.asarray(batch.lengths)
@@ -433,10 +437,8 @@ class AlignerEngine:
         # their zero length, and nameless library-level batches still rescue
         n = batch.codes.shape[0]
         rows = np.nonzero(~mapped[:n] & (lens[:n] > 0))[0]
-        unchanged = (mapped, strand, pos, score, mapq, x0, x1, nm, ug_eq,
-                     diag, tc)
         if rows.shape[0] == 0:
-            return unchanged
+            return None
         if rows.shape[0] > cap:
             self.rescue_overflow += int(rows.shape[0] - cap)
             rows = rows[:cap]
@@ -447,24 +449,67 @@ class AlignerEngine:
         lens2[: rows.shape[0]] = lens[rows]
         if self.supports_packed:
             two, nmask = pack_codes_host(codes2)
-            r2 = step2(didx2, self.sprof, two, nmask,
-                       lens2.astype(np.uint16), self._ms_table)
-            r2 = unpack_result_host(jax.device_get(r2), cfg2.band_width)
+            out2 = step2(didx2, self.sprof, two, nmask,
+                         lens2.astype(np.uint16), self._ms_table)
         else:
-            r2 = jax.device_get(step2(didx2, self.sprof, codes2, lens2,
-                                      min_scores_host(lens2, cfg2)))
+            out2 = step2(didx2, self.sprof, codes2, lens2,
+                         min_scores_host(lens2, cfg2))
+        jax.tree.map(lambda x: x.copy_to_host_async(), out2)
+        return rows, out2
+
+    def _finish_rescue(self, pend, batch, cigars, *arrays):
+        """Merge half of the rescue pass: fetch the small-k results, write
+        rescued rows into (copies of) the result arrays, rebind the CIGAR
+        store, and run the (rare-within-rare) gapped rescued tracebacks.
+        Gapped semantics equal the primary path's: band/gap parameters are
+        identical between tiers, so host_tracebacks_batch under self.cfg is
+        exact for the rescue tier too."""
+        from parasuite_tpu.ops.aligner import unpack_result_host
+        from parasuite_tpu.pipeline.clusters import tc_count_from_cigar
+
+        cfg2 = self._rescue[0]
+        rows, out2 = pend
+        r2 = jax.device_get(out2)
+        if self.supports_packed:
+            r2 = unpack_result_host(r2, cfg2.band_width)
         m2 = np.asarray(r2.mapped)[: rows.shape[0]]
         if not m2.any():
-            return unchanged
+            return arrays
         hit = rows[m2]
         src = np.nonzero(m2)[0]
         self.rescue_mapped += int(hit.shape[0])
         self.last_rescue_rows = hit
-        outs = [a.copy() for a in unchanged]
+        outs = [a.copy() for a in arrays]
         for o, f in zip(outs, ("mapped", "strand", "pos", "score", "mapq",
                                "x0", "x1", "nm", "ug_equal", "diag",
                                "tc_count")):
             o[hit] = np.asarray(getattr(r2, f))[src]
+        (mapped, strand, pos, score, _mapq, _x0, _x1, nm, ug_eq, diag,
+         tc) = outs
+        # LazyCigars was built against the pre-merge mapped array; rescued
+        # rows synthesize their "{L}M" default off the merged one
+        cigars._mapped = mapped
+        g2 = hit[~ug_eq[hit].astype(bool)]
+        if g2.shape[0]:
+            lens_all = np.asarray(batch.lengths)
+            L = batch.codes.shape[1]
+            om = np.full((g2.shape[0], L), 4, dtype=np.int8)
+            for k, b in enumerate(g2):
+                ln = int(lens_all[b])
+                om[k, :ln] = (batch.codes[b, :ln] if strand[b] == 0
+                              else revcomp_codes(batch.codes[b, :ln]))
+            tbs = host_tracebacks_batch(
+                self.ref.seq, self.s_tensor, self.s_comp, self.cfg, om,
+                lens_all[g2], strand[g2], diag[g2])
+            for k, b in enumerate(g2):
+                p, cigar, total_nm = tbs[k]
+                b = int(b)
+                pos[b] = p
+                cigars[b] = cigar
+                nm[b] = total_nm
+                tc[b] = tc_count_from_cigar(
+                    self.ref.seq, p, om[k, : int(lens_all[b])],
+                    int(strand[b]), cigar)
         return tuple(outs)
 
     def _xa_strings(self, batch, table, mapped, strand, pos, score,

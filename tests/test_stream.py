@@ -265,3 +265,61 @@ def test_mixed_length_streaming(tiny_ref, tiny_index, tmp_path):
     out2 = tmp_path / "mixed_unpacked.sam"
     streaming_align(eng, fq, out2)
     assert out2.read_bytes() == out.read_bytes()
+
+
+def test_rescue_profile_counts_in_stream(tiny_ref, tiny_index, small_cfg,
+                                         tmp_path):
+    """With config.rescue_kmer on, streaming profile counts must include the
+    rescued rows' substitutions/indels (every emitted record contributes,
+    SURVEY.md §3.3) — i.e. equal the rescue-off counts plus exactly the
+    rescued rows' CIGAR-walk contributions."""
+    from conftest import sample_reads
+
+    from parasuite_tpu.errormodel.infer import (count_indels_from_cigar,
+                                                count_substitutions_from_cigar)
+    from parasuite_tpu.io.batch import ReadBatch
+    from parasuite_tpu.io.fastq import write_fastq
+    from parasuite_tpu.pipeline import AlignerEngine
+    from parasuite_tpu.pipeline.stream import streaming_align
+    from parasuite_tpu.utils.dna import revcomp_codes
+
+    cfg_on = small_cfg.replace(rescue_kmer=6)
+    rng = np.random.default_rng(909)
+    codes, lengths, _ = sample_reads(rng, tiny_ref, 128, 36, mutate=5)
+    pad = np.full((128, 50 - 36), 4, dtype=np.int8)
+    codes = np.concatenate([codes, pad], axis=1)
+    fq = tmp_path / "rescue.fastq"
+    write_fastq(fq, [f"q{i}" for i in range(128)], codes, lengths)
+
+    eng_off = AlignerEngine(tiny_ref, tiny_index, small_cfg)
+    eng_on = AlignerEngine(tiny_ref, tiny_index, cfg_on)
+    n1, c_off, p_off = streaming_align(eng_off, fq, tmp_path / "off.sam",
+                                       with_profile_counts=True)
+    n2, c_on, p_on = streaming_align(eng_on, fq, tmp_path / "on.sam",
+                                     with_profile_counts=True)
+    assert n1 == n2 == 128
+
+    # recompute the rescued rows' contributions directly
+    batch = ReadBatch(codes=codes, lengths=lengths,
+                      names=[f"q{i}" for i in range(128)])
+    host_off = eng_off.align_to_host(batch)
+    host_on = eng_on.align_to_host(batch)
+    rescued = np.nonzero(host_on.mapped & ~host_off.mapped)[0]
+    assert rescued.shape[0] >= 3
+    L = c_off.shape[0]
+    delta = np.zeros((L, 4, 4), dtype=np.int64)
+    ins_d = np.zeros(L, dtype=np.int64)
+    del_d = np.zeros(L, dtype=np.int64)
+    for b in rescued:
+        b = int(b)
+        ln = int(lengths[b])
+        st = int(host_on.strand[b])
+        oriented = (codes[b, :ln] if st == 0
+                    else revcomp_codes(codes[b, :ln]))
+        count_substitutions_from_cigar(tiny_ref.seq, int(host_on.pos[b]),
+                                       oriented, ln, st, host_on.cigars[b],
+                                       delta)
+        if not host_on.ug_equal[b]:
+            count_indels_from_cigar(host_on.cigars[b], ln, st, ins_d, del_d)
+    np.testing.assert_array_equal(c_on, c_off + delta)
+    assert p_on == p_off + rescued.shape[0]
