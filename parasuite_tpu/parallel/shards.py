@@ -26,6 +26,16 @@ ShardedIndex.slabs(cfg) enforces it (raises on mismatch).
 
 The shard axis composes with the data axis: a 2-D ('data', 'index') mesh runs
 read-batch parallelism and index parallelism together (make_sharded_step).
+
+Equality contract (measured at 2x100 Mbp, BENCH_SHARDS_SCALE_r05.json):
+bit-equality with the replicated path holds while the replicated per-read
+candidate list has headroom (tests/test_shards.py pins it). On repeat-
+crowded references the replicated list saturates (n_candidates == 2C) and
+top-C selection evicts true diagonals; each shard keeps its own top-C, so
+the sharded union holds up to S*C candidates and strictly DOMINATES the
+replicated result: a superset of mapped reads, never a lower score, equal-
+score winners identical, X0/X1 counts that can only grow (slightly lower —
+more accurate — MAPQ on reads with newly-retained equal hits).
 """
 
 from __future__ import annotations

@@ -5,11 +5,22 @@ and documenting the projected 3 Gbp/8-chip footprint").
 
 Builds a 200 Mbp repeat-structured 2-chromosome genome (sim/genome.py),
 shards it 2-ways over the 'index' axis of a (data x index) CPU mesh, runs
-the sharded step, and pins every uniquely-mapped read's merged winner
-(chrom/pos/strand/score/mapq/X0/X1) to the replicated single-index path —
-the same contract as tests/test_shards.py, at 10,000x the index size the
-test uses. Records per-shard slab bytes and the projected per-chip budget
-at 3 Gbp / 8 shards.
+the sharded step, and pins the cross-shard merge contract against the
+replicated single-index path at 10,000x the index size tests/test_shards.py
+uses. Records per-shard slab bytes and the projected per-chip budget at
+3 Gbp / 8 shards.
+
+THE CONTRACT AT SCALE IS DOMINANCE, NOT BIT-EQUALITY (measured r05): on a
+repeat-crowded reference the replicated path's per-read candidate list
+saturates (n_candidates == 2C for 99% of reads here) and top-C selection
+evicts true diagonals; each shard keeps its own top-C, so the sharded
+union holds up to S*C candidates and maps a superset (here +20/2048 reads,
+never fewer; 1 read improves its score; X1 counts a few more suboptimal
+hits -> slightly lower MAPQ, which is MORE accurate). The checks below
+therefore assert: (a) every replicated-mapped read is sharded-mapped with
+score >=; (b) equal-score winners are identical (strand/chrom/local/X0);
+(c) extra mapped reads exist only on the sharded side. Bit-equality in the
+UNSATURATED regime stays pinned by tests/test_shards.py.
 
 CPU-heavy: do not run concurrently with a TPU bench (CLAUDE.md rule 6).
 
@@ -99,27 +110,35 @@ def main() -> int:
     out = jax.device_get(step(slabs, orig, sprof, codes, lengths, ms))
     step_s = time.perf_counter() - t0
 
-    # --- cross-shard merge parity on uniquely-mapped reads ---
+    # --- cross-shard merge dominance contract (see module docstring) ---
     ci_rep = np.searchsorted(np.asarray(didx.chrom_starts),
                              rep.pos, side="right") - 1
     local_rep = rep.pos - np.asarray(didx.chrom_starts)[ci_rep]
-    uniq = rep.mapped & (rep.x0 == 1)
-    checked = int(uniq.sum())
+    rm = np.asarray(rep.mapped)
+    sm = np.asarray(out["mapped"])
+    rs = np.asarray(rep.score)
+    ss = np.asarray(out["score"])
+    lost = int((rm & ~sm).sum())          # must be 0
+    extra = int((sm & ~rm).sum())         # sharded-only rescues
+    both = rm & sm
+    worse = int((ss[both] < rs[both]).sum())   # must be 0
+    better = int((ss[both] > rs[both]).sum())
+    eqs = both & (ss == rs)
+    checked = int(eqs.sum())
     mism = 0
-    for f_rep, f_sh in ((rep.mapped, out["mapped"]),
-                        (rep.strand, out["strand"]),
+    for f_rep, f_sh in ((rep.strand, out["strand"]),
                         (ci_rep, out["chrom"]),
                         (local_rep, out["local_pos"]),
-                        (rep.score, out["score"]), (rep.mapq, out["mapq"]),
-                        (rep.x0, out["x0"]), (rep.x1, out["x1"]),
                         (rep.nm, out["nm"])):
-        mism += int((np.asarray(f_rep)[uniq] != np.asarray(f_sh)[uniq]).sum())
-    # mapped agreement over ALL reads (multi-mapped placement may differ by
-    # design; mapped-ness and score must not)
-    mapped_agree = bool((rep.mapped == out["mapped"]).all())
-    score_agree = bool(
-        (np.asarray(rep.score)[rep.mapped]
-         == np.asarray(out["score"])[rep.mapped]).all())
+        mism += int((np.asarray(f_rep)[eqs] != np.asarray(f_sh)[eqs]).sum())
+    # hit counts may only grow (extra retained candidates): x0/x1 >= rep's
+    x0r, x0s = np.asarray(rep.x0), np.asarray(out["x0"])
+    x0_shrunk = int((x0s[eqs] < x0r[eqs]).sum())      # must be 0
+    x0_grew = int((x0s[eqs] > x0r[eqs]).sum())
+    nc = np.asarray(rep.n_candidates)
+    sat = int((nc >= 2 * cfg.max_candidates).sum())
+    dominance_ok = (lost == 0 and worse == 0 and mism == 0
+                    and x0_shrunk == 0)
 
     slab_bytes = {
         "ref_seq": int(sharded.ref_seq[0].nbytes),
@@ -152,10 +171,14 @@ def main() -> int:
         "sharded_build_seconds": round(build_s, 1),
         "step_first_seconds": round(step_first_s, 1),
         "step_steady_seconds": round(step_s, 2),
-        "unique_reads_checked": checked,
-        "unique_merge_mismatches": mism,
-        "mapped_agree_all_reads": mapped_agree,
-        "score_agree_all_mapped": score_agree,
+        "dominance_ok": dominance_ok,
+        "reads_lost_vs_replicated": lost,
+        "reads_rescued_by_sharding": extra,
+        "scores_worse": worse, "scores_better": better,
+        "equal_score_reads_checked": checked,
+        "equal_score_winner_mismatches": mism,
+        "x0_shrunk": x0_shrunk, "x0_grew": x0_grew,
+        "replicated_candidate_saturated": sat,
         "sensitivity_vs_truth": round(sens, 4),
         "per_shard_slab_bytes": slab_bytes,
         "per_shard_total_bytes": per_shard,
