@@ -279,8 +279,9 @@ def main() -> int:
                                 n_reads, with_e2e=True))
     if "b" in part:
         seqs, stats = multi_chrom(int(200_000_000 * SCALE), 5)
-        worlds.append(run_world("multi_chrom_200Mbp", seqs, stats, cfg,
-                                n_reads, with_e2e=False))
+        worlds.append(run_world(
+            "multi_chrom_200Mbp", seqs, stats, cfg, n_reads,
+            with_e2e=os.environ.get("PARASUITE_GENOME_E2E") == "1"))
     print(json.dumps({"read_len": READ_LEN, "batch": batch,
                       "scale": SCALE, "worlds": worlds}))
     return 0
