@@ -395,7 +395,8 @@ def cmd_sort(args) -> int:
     from parasuite_tpu.io.bam import coordinate_sort
 
     n = coordinate_sort(args.infile, args.out, min_mapq=args.min_mapq,
-                        mapped_only=args.mapped_only)
+                        mapped_only=args.mapped_only,
+                        max_in_memory=args.max_in_memory)
     print(json.dumps({"tool": "sort", "records": n, "out": str(args.out)}))
     return 0
 
@@ -546,6 +547,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop mapped records with MAPQ below this")
     p.add_argument("--mapped-only", dest="mapped_only", action="store_true",
                    help="drop unmapped records")
+    p.add_argument("--max-in-memory", dest="max_in_memory", type=int,
+                   default=4_000_000,
+                   help="records sorted in RAM before spilling runs to "
+                        "disk (the C++ path holds ~130 B/record; raise on "
+                        "big-RAM hosts to skip the spill/merge pass)")
     p.set_defaults(fn=cmd_sort)
 
     p = sub.add_parser("convert", help="SAM <-> BAM (direction by extension)")
