@@ -276,3 +276,49 @@ def test_native_sort_rejects_truncated(tmp_path):
         w.write(payload[:-30])
     with pytest.raises(ValueError):
         coordinate_sort(cut, tmp_path / "o.bam")
+
+
+def test_native_sort_parity_fuzz(tmp_path):
+    """Randomized byte-identity fuzz of the C++ sort vs the Python path:
+    random record mixes (tie density, unmapped fraction, CIGAR shapes,
+    filters, spill thresholds) across several seeds."""
+    from parasuite_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    hdr = ["@HD\tVN:1.6\tSO:unsorted", "@SQ\tSN:c1\tLN:100000",
+           "@SQ\tSN:c2\tLN:50000", "@SQ\tSN:c3\tLN:5000"]
+    for seed in range(6):
+        rng = np.random.default_rng(1000 + seed)
+        mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+        n_rec = int(rng.integers(50, 400))
+        pos_span = int(rng.choice([10, 1000, 90000]))  # tie density knob
+        recs = []
+        for i in range(n_rec):
+            if rng.random() < 0.15:
+                ln = int(rng.integers(20, 60))
+                recs.append(f"u{i}\t4\t*\t0\t0\t*\t*\t0\t0\t{mk(ln)}\t"
+                            + "I" * ln)
+                continue
+            chrom = f"c{int(rng.integers(1, 4))}"
+            pos = int(rng.integers(1, pos_span + 1))
+            ln = int(rng.integers(20, 60))
+            cig = (f"{ln}M" if rng.random() < 0.7 else
+                   f"{ln // 2}M2D{ln - ln // 2}M" if rng.random() < 0.5
+                   else f"{ln // 2}M100N{ln - ln // 2}M")
+            recs.append(f"m{i}\t{16 if i % 2 else 0}\t{chrom}\t{pos}\t"
+                        f"{int(rng.integers(0, 61))}\t{cig}\t*\t0\t0\t"
+                        f"{mk(ln)}\t{'I' * ln}\tNM:i:0\tAS:i:100")
+        src_sam = tmp_path / f"fz{seed}.sam"
+        src_sam.write_text("\n".join(hdr + recs) + "\n")
+        src = tmp_path / f"fz{seed}.bam"
+        sam_to_bam(src_sam, src)
+        kwargs = {"min_mapq": int(rng.choice([0, 0, 25])),
+                  "mapped_only": bool(rng.random() < 0.3),
+                  "max_in_memory": int(rng.choice([23, 101, 4_000_000]))}
+        out_n = tmp_path / "fn.bam"
+        out_p = tmp_path / "fp.bam"
+        n1 = coordinate_sort(src, out_n, **kwargs)
+        n2 = coordinate_sort(src, out_p, native_ok=False, **kwargs)
+        assert n1 == n2, (seed, kwargs)
+        assert out_n.read_bytes() == out_p.read_bytes(), (seed, kwargs)
