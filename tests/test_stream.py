@@ -298,6 +298,12 @@ def test_rescue_profile_counts_in_stream(tiny_ref, tiny_index, small_cfg,
     n2, c_on, p_on = streaming_align(eng_on, fq, tmp_path / "on.sam",
                                      with_profile_counts=True)
     assert n1 == n2 == 128
+    # rescue output is deterministic run-to-run (the property batch-granular
+    # resume relies on): a second full run produces identical bytes
+    streaming_align(eng_on, fq, tmp_path / "on2.sam",
+                    with_profile_counts=True)
+    assert ((tmp_path / "on2.sam").read_bytes()
+            == (tmp_path / "on.sam").read_bytes())
 
     # recompute the rescued rows' contributions directly
     batch = ReadBatch(codes=codes, lengths=lengths,
