@@ -72,6 +72,14 @@ class AlignConfig:
                                      # seeding-information ceiling 0.9898).
                                      # 0 = off (the default operating point
                                      # is unchanged and bit-identical)
+    rescue_seeds: int = 13           # seeds per read in the rescue pass
+                                     # (only with rescue_kmer > 0): the
+                                     # rescue batch is a few % of reads and
+                                     # its cost is dispatch-latency-bound,
+                                     # so denser placement is nearly free
+                                     # there — 13 seeds at stride
+                                     # (36-11)//12 = 2 approximates
+                                     # all-offset coverage on 36bp reads
 
     # --- extension (banded affine-gap DP; SURVEY.md §7 "Extension/scoring") ---
     band_width: int = 5              # W: max net indel; band = 2W+1 diagonals
@@ -137,6 +145,8 @@ class AlignConfig:
         if self.rescue_kmer and not (6 <= self.rescue_kmer < self.kmer_size):
             raise ValueError("rescue_kmer must be 0 (off) or in "
                              "[6, kmer_size)")
+        if self.rescue_kmer and self.rescue_seeds < 1:
+            raise ValueError("rescue_seeds must be >= 1")
         # the Pallas kernel ships per-base scores as int8 (ops/pallas_extend)
         for f in ("match_score", "mismatch_score", "n_score",
                   "profile_min_score", "profile_max_score"):

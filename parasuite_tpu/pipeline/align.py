@@ -278,7 +278,9 @@ class AlignerEngine:
         if cfg.rescue_kmer:
             from parasuite_tpu.ops import aligner as _ops
 
-            cfg2 = cfg.replace(kmer_size=cfg.rescue_kmer, rescue_kmer=0)
+            cfg2 = cfg.replace(kmer_size=cfg.rescue_kmer, rescue_kmer=0,
+                               max_seeds=max(cfg.rescue_seeds,
+                                             cfg.max_seeds))
             idx2 = KmerIndex.build(ref.seq, cfg2.kmer_size)
             didx2 = DeviceIndex.from_host(ref, idx2)
             cap = max(256, cfg.batch_size // 8)

@@ -376,7 +376,8 @@ def test_rescue_kmer_two_tier(tiny_ref, small_cfg):
         np.testing.assert_array_equal(getattr(host_on, f)[keep],
                                       getattr(host_off, f)[keep], err_msg=f)
     # rescued rows equal the all-k6 engine's result for those reads
-    cfg6 = cfg.replace(kmer_size=6, rescue_kmer=0)
+    cfg6 = cfg.replace(kmer_size=6, rescue_kmer=0,
+                       max_seeds=max(cfg.rescue_seeds, cfg.max_seeds))
     idx6 = KmerIndex.build(tiny_ref.seq, 6)
     eng6 = AlignerEngine(tiny_ref, idx6, cfg6)
     host6 = eng6.align_to_host(batch)
